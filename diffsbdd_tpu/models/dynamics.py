@@ -1,0 +1,190 @@
+"""The epsilon-network: encoders + EGNN over the joint ligand/pocket graph.
+
+Behavioral equivalent of the reference ``EGNNDynamics``
+(/root/reference/equivariant_diffusion/dynamics.py:10-187) on the padded
+layout.  The dynamic-shape ``torch.where`` edge list of ``get_edges``
+(dynamics.py:169-187) becomes a dense boolean adjacency built from the node
+masks and the three distance cutoffs — a static-shape op that jits cleanly and
+feeds the dense EGNN.
+
+Inputs are padded per-domain tensors; node axes are concatenated internally:
+  xh_lig:  (B, NL, 3 + atom_nf)    mask_lig: (B, NL)
+  xh_pkt:  (B, NP, 3 + residue_nf) mask_pkt: (B, NP)
+  t:       (B, 1) normalized time
+Returns (eps_lig, eps_pkt) with the same leading shapes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffsbdd_tpu.models.egnn import EGNN, GNN, sin_embedding_dim
+
+
+def build_adjacency(
+    x_lig: jnp.ndarray,
+    x_pkt: jnp.ndarray,
+    mask_lig: jnp.ndarray,
+    mask_pkt: jnp.ndarray,
+    cutoff_ligand: Optional[float] = None,
+    cutoff_pocket: Optional[float] = None,
+    cutoff_interaction: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dense (B, N, N) adjacency over the concatenated node set.
+
+    Self-edges are kept, matching the reference ``get_edges`` which never
+    removes the diagonal (dynamics.py:169-187).  Cutoffs are compared against
+    Euclidean distance <= cutoff, evaluated on the *current* coordinates, so
+    the graph is rebuilt at every denoising step exactly like the reference.
+    """
+    B, NL, _ = x_lig.shape
+    NP = x_pkt.shape[1]
+
+    def pair_adj(xa, xb, ma, mb, cutoff):
+        adj = ma[:, :, None] * mb[:, None, :]
+        if cutoff is not None:
+            d2 = jnp.sum((xa[:, :, None, :] - xb[:, None, :, :]) ** 2, axis=-1)
+            adj = adj * (d2 <= cutoff * cutoff).astype(adj.dtype)
+        return adj
+
+    adj_ll = pair_adj(x_lig, x_lig, mask_lig, mask_lig, cutoff_ligand)
+    adj_pp = pair_adj(x_pkt, x_pkt, mask_pkt, mask_pkt, cutoff_pocket)
+    adj_lp = pair_adj(x_lig, x_pkt, mask_lig, mask_pkt, cutoff_interaction)
+
+    top = jnp.concatenate([adj_ll, adj_lp], axis=2)
+    bottom = jnp.concatenate([jnp.swapaxes(adj_lp, 1, 2), adj_pp], axis=2)
+    return jnp.concatenate([top, bottom], axis=1)
+
+
+class _EncoderMLP(nn.Module):
+    """Linear(d -> 2*d_ref), silu, Linear(2*d_ref -> out)."""
+
+    mid: int
+    out: int
+
+    @nn.compact
+    def __call__(self, h):
+        h = nn.Dense(self.mid, name="lin0")(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.out, name="lin2")(h)
+
+
+class EGNNDynamics(nn.Module):
+    """Predicts (eps_x, eps_h) for ligand and pocket nodes."""
+
+    atom_nf: int
+    residue_nf: int
+    joint_nf: int = 16
+    hidden_nf: int = 64
+    n_layers: int = 4
+    attention: bool = False
+    tanh: bool = False
+    mode: str = "egnn_dynamics"  # or "gnn_dynamics"
+    norm_constant: float = 0.0
+    inv_sublayers: int = 2
+    sin_embedding: bool = False
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+    update_pocket_coords: bool = True
+    edge_cutoff_ligand: Optional[float] = None
+    edge_cutoff_pocket: Optional[float] = None
+    edge_cutoff_interaction: Optional[float] = None
+    reflection_equivariant: bool = True
+    edge_embedding_dim: Optional[int] = None
+    condition_time: bool = True
+    n_dims: int = 3
+    zero_nan: bool = False  # training-time NaN guard (dynamics.py:155-158)
+
+    @nn.compact
+    def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
+        B, NL = mask_lig.shape
+        NP = mask_pkt.shape[1]
+        nd = self.n_dims
+
+        x_lig, h_lig = xh_lig[..., :nd], xh_lig[..., nd:]
+        x_pkt, h_pkt = xh_pkt[..., :nd], xh_pkt[..., nd:]
+
+        # shared-space encoders (dynamics.py:27-49)
+        h_lig = _EncoderMLP(2 * self.atom_nf, self.joint_nf, name="atom_encoder")(h_lig)
+        h_pkt = _EncoderMLP(2 * self.residue_nf, self.joint_nf, name="residue_encoder")(h_pkt)
+
+        x = jnp.concatenate([x_lig, x_pkt], axis=1)
+        h = jnp.concatenate([h_lig, h_pkt], axis=1)
+        mask = jnp.concatenate([mask_lig, mask_pkt], axis=1)
+        is_lig = jnp.concatenate(
+            [jnp.ones((B, NL), x.dtype), jnp.zeros((B, NP), x.dtype)], axis=1)
+
+        if self.condition_time:
+            h_time = jnp.broadcast_to(t[:, None, :], (B, NL + NP, 1)).astype(h.dtype)
+            h = jnp.concatenate([h, h_time], axis=-1)
+
+        adj = build_adjacency(
+            x_lig, x_pkt, mask_lig, mask_pkt,
+            self.edge_cutoff_ligand, self.edge_cutoff_pocket,
+            self.edge_cutoff_interaction)
+
+        # learnable 3-way edge-type embedding: 0=cross, 1=lig-lig, 2=pkt-pkt
+        edge_attr = None
+        in_edge_nf = 0
+        if self.edge_embedding_dim is not None:
+            both_lig = is_lig[:, :, None] * is_lig[:, None, :]
+            both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
+            edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
+            table = nn.Embed(3, self.edge_embedding_dim, name="edge_embedding")
+            edge_attr = table(edge_type)
+            in_edge_nf = self.edge_embedding_dim
+
+        if self.mode == "egnn_dynamics":
+            update_coords_mask = None if self.update_pocket_coords else is_lig
+            h_final, x_final = EGNN(
+                hidden_nf=self.hidden_nf,
+                out_node_nf=self.joint_nf + int(self.condition_time),
+                in_edge_nf=in_edge_nf, n_layers=self.n_layers,
+                attention=self.attention, tanh=self.tanh,
+                norm_constant=self.norm_constant,
+                inv_sublayers=self.inv_sublayers,
+                sin_embedding=self.sin_embedding,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                reflection_equiv=self.reflection_equivariant,
+                name="egnn")(
+                h, x, adj, mask, edge_attr=edge_attr,
+                update_coords_mask=update_coords_mask)
+            vel = (x_final - x) * mask[..., None]
+        elif self.mode == "gnn_dynamics":
+            xh = jnp.concatenate([x, h], axis=-1)
+            out = GNN(hidden_nf=self.hidden_nf,
+                      out_node_nf=nd + self.joint_nf + int(self.condition_time),
+                      in_edge_nf=in_edge_nf, n_layers=self.n_layers,
+                      attention=self.attention,
+                      normalization_factor=self.normalization_factor,
+                      aggregation_method=self.aggregation_method,
+                      name="gnn")(xh, adj, mask, edge_attr=edge_attr)
+            vel = out[..., :nd] * mask[..., None]
+            h_final = out[..., nd:]
+        else:
+            raise ValueError(self.mode)
+
+        if self.condition_time:
+            h_final = h_final[..., :-1]
+
+        h_final_lig = _EncoderMLP(2 * self.atom_nf, self.atom_nf,
+                                  name="atom_decoder")(h_final[:, :NL])
+        h_final_pkt = _EncoderMLP(2 * self.residue_nf, self.residue_nf,
+                                  name="residue_decoder")(h_final[:, NL:])
+
+        if self.zero_nan:
+            vel = jnp.nan_to_num(vel)
+
+        if self.update_pocket_coords:
+            # joint mode removes the CoM of the velocity field (dynamics.py:161-164)
+            count = jnp.maximum(jnp.sum(mask, axis=1), 1e-12)
+            mean = jnp.sum(vel * mask[..., None], axis=1) / count[..., None]
+            vel = (vel - mean[:, None, :]) * mask[..., None]
+
+        eps_lig = jnp.concatenate([vel[:, :NL], h_final_lig * mask_lig[..., None]], axis=-1)
+        eps_pkt = jnp.concatenate([vel[:, NL:], h_final_pkt * mask_pkt[..., None]], axis=-1)
+        return eps_lig, eps_pkt

@@ -14,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS at import time; the config
+# update below wins over both.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

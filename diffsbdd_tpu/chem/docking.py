@@ -1,0 +1,129 @@
+"""Docking-score wrappers around external binaries (smina / QuickVina2).
+
+Host-side subprocess pipeline with the same semantics as
+/root/reference/analysis/docking.py: smina ``--score_only`` scoring of SDF
+ligands against a receptor, and the QuickVina2 redocking pipeline (obabel
+SDF->PDBQT, 20A box centered at the ligand CoM, exhaustiveness 16).  All
+binaries are optional; a clear error names what is missing.
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import List, Union
+
+import numpy as np
+
+from diffsbdd_tpu.chem.sdfio import read_sdf, write_sdf_file
+
+
+def _require(binary: str):
+    if shutil.which(binary) is None:
+        raise FileNotFoundError(
+            f"external binary '{binary}' not found on PATH — install it to "
+            f"run docking evaluation")
+
+
+def calculate_smina_score(pdb_file, sdf_file) -> List[float]:
+    """Parse 'Affinity: <x> (kcal/mol)' lines from smina --score_only."""
+    _require("smina.static")
+    out = subprocess.run(
+        ["smina.static", "-l", str(sdf_file), "-r", str(pdb_file),
+         "--score_only"],
+        capture_output=True, text=True).stdout
+    matches = re.findall(
+        r"Affinity:[ ]+([+-]?[0-9]*[.]?[0-9]+)[ ]+\(kcal/mol\)", out)
+    return [float(x) for x in matches]
+
+
+def smina_score(mols, receptor_file: Union[str, List[str]]) -> List[float]:
+    """Score molecules against one receptor (or one receptor per molecule)."""
+    if isinstance(receptor_file, list):
+        scores = []
+        for mol, rec in zip(mols, receptor_file):
+            with tempfile.NamedTemporaryFile(suffix=".sdf") as tmp:
+                write_sdf_file(tmp.name, [mol])
+                scores.extend(calculate_smina_score(rec, tmp.name))
+        return scores
+    with tempfile.NamedTemporaryFile(suffix=".sdf") as tmp:
+        write_sdf_file(tmp.name, mols)
+        return calculate_smina_score(receptor_file, tmp.name)
+
+
+def sdf_to_pdbqt(sdf_file, pdbqt_outfile, mol_id: int):
+    _require("obabel")
+    subprocess.run(
+        ["obabel", str(sdf_file), "-O", str(pdbqt_outfile),
+         "-f", str(mol_id + 1), "-l", str(mol_id + 1)],
+        capture_output=True)
+    return pdbqt_outfile
+
+
+def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
+                           exhaustiveness: int = 16, return_mols: bool = False):
+    """QuickVina2 redocking of every ligand in an SDF file."""
+    _require("qvina2.1")
+    receptor_file = Path(receptor_file)
+    sdf_file = Path(sdf_file)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if receptor_file.suffix == ".pdb":
+        receptor_pdbqt = Path(out_dir, receptor_file.stem + ".pdbqt")
+        # MGLTools receptor prep (python 2.7 helper, reference docking.py:68)
+        subprocess.run(["prepare_receptor4.py", "-r", str(receptor_file),
+                        "-O", str(receptor_pdbqt)], capture_output=True)
+    else:
+        receptor_pdbqt = receptor_file
+
+    scores = []
+    out_mols = []
+    mols = read_sdf(sdf_file)
+    for i, mol in enumerate(mols):
+        name = f"{sdf_file.stem}_{i}"
+        ligand_pdbqt = Path(out_dir, name + ".pdbqt")
+        out_sdf = Path(out_dir, name + "_out.sdf")
+
+        if out_sdf.exists():
+            with open(out_sdf) as f:
+                scores.append(min(
+                    float(line.split()[2]) for line in f
+                    if line.startswith(" VINA RESULT:")))
+        else:
+            sdf_to_pdbqt(sdf_file, ligand_pdbqt, i)
+            cx, cy, cz = np.asarray(mol.coords).mean(0)
+            out = subprocess.run(
+                ["qvina2.1",
+                 "--receptor", str(receptor_pdbqt),
+                 "--ligand", str(ligand_pdbqt),
+                 "--center_x", f"{cx:.4f}", "--center_y", f"{cy:.4f}",
+                 "--center_z", f"{cz:.4f}",
+                 "--size_x", str(size), "--size_y", str(size),
+                 "--size_z", str(size),
+                 "--exhaustiveness", str(exhaustiveness)],
+                capture_output=True, text=True).stdout
+            ligand_pdbqt.unlink(missing_ok=True)
+
+            sep = "-----+------------+----------+----------"
+            if sep not in out:
+                scores.append(float("nan"))
+                continue
+            lines = out.splitlines()
+            best = lines[lines.index(sep) + 1].split()
+            assert best[0] == "1"
+            scores.append(float(best[1]))
+
+            out_pdbqt = Path(out_dir, name + "_out.pdbqt")
+            if out_pdbqt.exists():
+                subprocess.run(["obabel", str(out_pdbqt), "-O", str(out_sdf)],
+                               capture_output=True)
+                out_pdbqt.unlink()
+
+        if return_mols and out_sdf.exists():
+            out_mols.extend(read_sdf(out_sdf)[:1])
+
+    return (scores, out_mols) if return_mols else scores

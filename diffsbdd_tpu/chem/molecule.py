@@ -1,0 +1,372 @@
+"""Molecule construction and processing without hard chemistry dependencies.
+
+The reference builds RDKit molecules either via OpenBabel bond perception or
+via the EDM distance-lookup-table route
+(/root/reference/analysis/molecule_builder.py).  Neither OpenBabel nor RDKit
+is guaranteed in this environment, so the canonical representation here is a
+lightweight ``SimpleMol`` with:
+
+* vectorized EDM-style bond perception from the bond-length tables
+  (molecule_builder.py:30-55,101-137 semantics, verified in tests),
+* valence-table validity checking (the sanitize-equivalent gate),
+* largest-fragment extraction via union-find,
+* Weisfeiler-Lehman canonical hashing as a SMILES stand-in for
+  uniqueness/novelty bookkeeping,
+* optional bridges to RDKit/OpenBabel when installed (``to_rdkit``,
+  ``build_molecule(..., use_openbabel=True)``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from diffsbdd_tpu.constants import ALLOWED_BONDS, MARGINS
+
+try:  # optional bridge
+    from rdkit import Chem as _rdchem
+    HAVE_RDKIT = True
+except ImportError:
+    _rdchem = None
+    HAVE_RDKIT = False
+
+try:  # optional bridge
+    import openbabel as _openbabel  # noqa: F401
+    HAVE_OPENBABEL = True
+except ImportError:
+    HAVE_OPENBABEL = False
+
+
+@dataclasses.dataclass
+class SimpleMol:
+    """Atoms + coordinates + typed bonds; the host-side molecule object."""
+
+    symbols: List[str]
+    coords: np.ndarray  # (N, 3) float32
+    bonds: List[Tuple[int, int, int]]  # (i, j, order) with i > j or i < j once
+    name: str = ""
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self.symbols)
+
+    def neighbor_orders(self) -> List[List[int]]:
+        out: List[List[int]] = [[] for _ in range(self.n_atoms)]
+        for i, j, o in self.bonds:
+            out[i].append(o)
+            out[j].append(o)
+        return out
+
+    def adjacency(self) -> List[List[int]]:
+        out: List[List[int]] = [[] for _ in range(self.n_atoms)]
+        for i, j, _ in self.bonds:
+            out[i].append(j)
+            out[j].append(i)
+        return out
+
+    # -------------------------------------------------------------- fragments
+    def fragments(self) -> List[List[int]]:
+        """Connected components (sorted by size, largest first)."""
+        parent = list(range(self.n_atoms))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i, j, _ in self.bonds:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[ri] = rj
+        groups = {}
+        for i in range(self.n_atoms):
+            groups.setdefault(find(i), []).append(i)
+        return sorted(groups.values(), key=len, reverse=True)
+
+    def subset(self, idx: Sequence[int]) -> "SimpleMol":
+        idx = list(idx)
+        remap = {a: k for k, a in enumerate(idx)}
+        keep = set(idx)
+        bonds = [(remap[i], remap[j], o) for i, j, o in self.bonds
+                 if i in keep and j in keep]
+        return SimpleMol(
+            symbols=[self.symbols[i] for i in idx],
+            coords=self.coords[idx],
+            bonds=bonds, name=self.name)
+
+    def largest_fragment(self) -> "SimpleMol":
+        frags = self.fragments()
+        return self.subset(frags[0]) if frags else self
+
+    def is_connected(self) -> bool:
+        return len(self.fragments()) <= 1
+
+    # --------------------------------------------------------------- validity
+    def check_valency(self) -> bool:
+        """True when every atom's total bond order is chemically allowed.
+
+        The table-based counterpart of RDKit sanitization: an atom passes when
+        its bond-order sum does not exceed (or, for multi-valence elements,
+        hits one of) its allowed valences from ALLOWED_BONDS.
+        """
+        for sym, orders in zip(self.symbols, self.neighbor_orders()):
+            allowed = ALLOWED_BONDS.get(sym)
+            if allowed is None:
+                return False
+            # aromatic bonds (order 4) count as 1.5
+            total = sum(1.5 if o == 4 else o for o in orders)
+            if isinstance(allowed, list):
+                if total > max(allowed):
+                    return False
+            elif total > allowed:
+                return False
+        return True
+
+    # ------------------------------------------------------------- canonical
+    def canonical_key(self, iterations: int = 4) -> str:
+        """Weisfeiler-Lehman graph hash labeled by element and bond order.
+
+        A deterministic isomorphism-invariant key used where the reference
+        uses canonical SMILES (uniqueness/novelty bookkeeping).  With RDKit
+        installed, prefer ``to_smiles``.
+        """
+        labels = [hashlib.sha1(s.encode()).hexdigest()[:8] for s in self.symbols]
+        nbrs: List[List[Tuple[int, int]]] = [[] for _ in range(self.n_atoms)]
+        for i, j, o in self.bonds:
+            nbrs[i].append((j, o))
+            nbrs[j].append((i, o))
+        for _ in range(iterations):
+            new = []
+            for i in range(self.n_atoms):
+                env = sorted(f"{o}:{labels[j]}" for j, o in nbrs[i])
+                s = labels[i] + "|" + ",".join(env)
+                new.append(hashlib.sha1(s.encode()).hexdigest()[:8])
+            labels = new
+        return hashlib.sha1(",".join(sorted(labels)).encode()).hexdigest()
+
+    # ------------------------------------------------------------ rdkit bridge
+    def to_rdkit(self):
+        if not HAVE_RDKIT:
+            raise ImportError("rdkit is not installed")
+        mol = _rdchem.RWMol()
+        for s in self.symbols:
+            mol.AddAtom(_rdchem.Atom(s))
+        bond_types = {1: _rdchem.BondType.SINGLE, 2: _rdchem.BondType.DOUBLE,
+                      3: _rdchem.BondType.TRIPLE, 4: _rdchem.BondType.AROMATIC}
+        for i, j, o in self.bonds:
+            mol.AddBond(int(i), int(j), bond_types[int(o)])
+        conf = _rdchem.Conformer(mol.GetNumAtoms())
+        for i in range(mol.GetNumAtoms()):
+            conf.SetAtomPosition(i, tuple(float(v) for v in self.coords[i]))
+        mol.AddConformer(conf)
+        return mol
+
+    def to_smiles(self) -> Optional[str]:
+        """Canonical SMILES via RDKit if available, else the WL key."""
+        if HAVE_RDKIT:
+            try:
+                mol = self.to_rdkit()
+                _rdchem.SanitizeMol(mol)
+                _rdchem.RemoveStereochemistry(mol)
+                return _rdchem.MolToSmiles(_rdchem.RemoveHs(mol))
+            except Exception:
+                return None
+        return self.canonical_key()
+
+
+# ---------------------------------------------------------------------------
+# bond perception
+# ---------------------------------------------------------------------------
+
+def get_bond_order_batch(atoms1, atoms2, distances, dataset_info) -> np.ndarray:
+    """Vectorized EDM bond-order assignment.
+
+    ``distances`` in Angstrom; checks single, then double, then triple
+    thresholds so higher orders overwrite lower ones — matching
+    molecule_builder.py:30-55.
+    """
+    atoms1 = np.asarray(atoms1)
+    atoms2 = np.asarray(atoms2)
+    d_pm = 100.0 * np.asarray(distances)
+    b1 = np.asarray(dataset_info["bonds1"])[atoms1, atoms2]
+    b2 = np.asarray(dataset_info["bonds2"])[atoms1, atoms2]
+    b3 = np.asarray(dataset_info["bonds3"])[atoms1, atoms2]
+    m1, m2, m3 = MARGINS
+    orders = np.zeros(d_pm.shape, dtype=np.int32)
+    orders[d_pm < b1 + m1] = 1
+    orders[d_pm < b2 + m2] = 2  # overwrites already-assigned singles
+    orders[d_pm < b3 + m3] = 3
+    return orders
+
+
+def perceive_bonds_edm(positions: np.ndarray, atom_types: np.ndarray,
+                       dataset_info) -> List[Tuple[int, int, int]]:
+    """Lower-triangle directed bond list from pairwise distances."""
+    pos = np.asarray(positions, dtype=np.float64)
+    n = len(pos)
+    if n == 0:
+        return []
+    d = np.sqrt(((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1))
+    a1 = np.broadcast_to(np.asarray(atom_types)[:, None], (n, n))
+    a2 = np.broadcast_to(np.asarray(atom_types)[None, :], (n, n))
+    orders = get_bond_order_batch(a1.ravel(), a2.ravel(), d.ravel(),
+                                  dataset_info).reshape(n, n)
+    orders = np.tril(orders, k=-1)  # directed graph, like the reference
+    out = []
+    ii, jj = np.nonzero(orders)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        out.append((i, j, int(orders[i, j])))
+    return out
+
+
+def build_molecule(positions, atom_types, dataset_info, add_coords=True,
+                   use_openbabel="auto") -> SimpleMol:
+    """coords + type indices -> SimpleMol (molecule_builder.py:140-159).
+
+    ``use_openbabel='auto'`` uses OpenBabel bond perception when the library
+    is installed (the reference default), otherwise the EDM table route.
+    """
+    positions = np.asarray(positions, dtype=np.float32)
+    atom_types = np.asarray(atom_types, dtype=np.int64)
+    decoder = dataset_info["atom_decoder"]
+    symbols = [decoder[int(t)] for t in atom_types]
+
+    if use_openbabel == "auto":
+        use_openbabel = HAVE_OPENBABEL
+    if use_openbabel and HAVE_OPENBABEL:
+        bonds = _perceive_bonds_openbabel(positions, symbols)
+    else:
+        bonds = perceive_bonds_edm(positions, atom_types, dataset_info)
+    return SimpleMol(symbols=symbols, coords=positions, bonds=bonds)
+
+
+def _perceive_bonds_openbabel(positions, symbols):  # pragma: no cover
+    """OpenBabel bond perception through a temp xyz file
+    (molecule_builder.py:58-98)."""
+    import tempfile
+
+    from openbabel import openbabel as ob
+
+    from diffsbdd_tpu.chem.sdfio import write_xyz_file
+
+    with tempfile.NamedTemporaryFile(suffix=".xyz") as tmp:
+        write_xyz_file(positions, symbols, tmp.name)
+        conv = ob.OBConversion()
+        conv.SetInAndOutFormats("xyz", "sdf")
+        mol = ob.OBMol()
+        conv.ReadFile(mol, tmp.name)
+    order_map = {1: 1, 2: 2, 3: 3, 5: 4}
+    bonds = []
+    for b in ob.OBMolBondIter(mol):
+        order = 4 if b.IsAromatic() else b.GetBondOrder()
+        bonds.append((b.GetBeginAtomIdx() - 1, b.GetEndAtomIdx() - 1,
+                      order_map.get(order, order)))
+    return bonds
+
+
+def process_molecule(mol: Optional[SimpleMol], add_hydrogens=False,
+                     sanitize=False, relax_iter=0,
+                     largest_frag=False) -> Optional[SimpleMol]:
+    """Filter/transform pipeline (molecule_builder.py:162-214 semantics).
+
+    Returns None when the molecule fails a requested filter.  ``sanitize``
+    maps to the valence-table check (RDKit sanitization when available via the
+    rdkit bridge); ``relax_iter`` requires RDKit UFF and is skipped with a
+    warning otherwise; ``add_hydrogens`` requires RDKit.
+    """
+    import warnings
+
+    if mol is None:
+        return None
+    out = SimpleMol(symbols=list(mol.symbols), coords=np.array(mol.coords),
+                    bonds=list(mol.bonds), name=mol.name)
+
+    if sanitize:
+        if HAVE_RDKIT:
+            try:
+                rd = out.to_rdkit()
+                _rdchem.SanitizeMol(rd)
+            except Exception:
+                warnings.warn("Sanitization failed. Returning None.")
+                return None
+        elif not out.check_valency():
+            return None
+
+    if add_hydrogens:
+        if not HAVE_RDKIT:
+            warnings.warn("add_hydrogens requires RDKit; skipping")
+        else:  # pragma: no cover - optional bridge
+            rd = _rdchem.AddHs(out.to_rdkit(), addCoords=True)
+            return from_rdkit(rd)
+
+    if largest_frag:
+        out = out.largest_fragment()
+        if sanitize and not HAVE_RDKIT and not out.check_valency():
+            return None
+        if sanitize and HAVE_RDKIT:  # pragma: no cover
+            try:
+                _rdchem.SanitizeMol(out.to_rdkit())
+            except Exception:
+                return None
+
+    if relax_iter > 0:
+        if not HAVE_RDKIT:
+            warnings.warn("UFF relaxation requires RDKit; skipping")
+        else:  # pragma: no cover - optional bridge
+            out = uff_relax(out, relax_iter)
+            if out is None:
+                return None
+    return out
+
+
+def uff_relax(mol: SimpleMol, max_iter: int = 200):  # pragma: no cover
+    """RDKit UFF relaxation bridge (molecule_builder.py:217-226)."""
+    from rdkit.Chem.rdForceFieldHelpers import (UFFHasAllMoleculeParams,
+                                                UFFOptimizeMolecule)
+    rd = mol.to_rdkit()
+    if not UFFHasAllMoleculeParams(rd):
+        return None
+    try:
+        UFFOptimizeMolecule(rd, maxIters=max_iter)
+    except (RuntimeError, ValueError):
+        return None
+    return from_rdkit(rd)
+
+
+def from_rdkit(rd) -> SimpleMol:  # pragma: no cover - optional bridge
+    conf = rd.GetConformer()
+    coords = np.array([[conf.GetAtomPosition(i).x, conf.GetAtomPosition(i).y,
+                        conf.GetAtomPosition(i).z]
+                       for i in range(rd.GetNumAtoms())], dtype=np.float32)
+    order_map = {_rdchem.BondType.SINGLE: 1, _rdchem.BondType.DOUBLE: 2,
+                 _rdchem.BondType.TRIPLE: 3, _rdchem.BondType.AROMATIC: 4}
+    bonds = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx(),
+              order_map.get(b.GetBondType(), 1)) for b in rd.GetBonds()]
+    return SimpleMol(symbols=[a.GetSymbol() for a in rd.GetAtoms()],
+                     coords=coords, bonds=bonds)
+
+
+def filter_rd_mol(mol: SimpleMol) -> bool:
+    """Reject molecules with two fused 3-rings (molecule_builder.py:229-250).
+
+    Ring detection via cycle basis on the bond graph.
+    """
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(mol.n_atoms))
+    g.add_edges_from([(i, j) for i, j, _ in mol.bonds])
+    rings = [set(c) for c in nx.cycle_basis(g)]
+    for i, ring_a in enumerate(rings):
+        if len(ring_a) != 3:
+            continue
+        for j, ring_b in enumerate(rings):
+            if i <= j:
+                continue
+            if len(ring_b) == 3 and ring_a & ring_b:
+                return False
+    return True

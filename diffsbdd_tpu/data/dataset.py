@@ -1,0 +1,209 @@
+"""Data pipeline: preprocessed ``.npz`` -> padded fixed-shape TPU batches.
+
+Reads the same ``{train,val,test}.npz`` format as the reference
+(/root/reference/dataset.py: flat per-node arrays + graph-id masks) but
+replaces the ragged concat-collate (dataset.py:52-70) with padding to
+size-bucketed static shapes — the single biggest layout change the TPU
+rebuild makes (SURVEY.md §7 design decision 1).  Shape-bucketing bounds both
+padding waste and XLA recompilation count.
+"""
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def round_to_bucket(n: int, bucket: int, minimum: int = 0) -> int:
+    return max(int(math.ceil(n / bucket)) * bucket, minimum, bucket)
+
+
+def pad_batch(items: List[dict], n_lig: int, n_pocket: int) -> Dict[str, dict]:
+    """Pad a list of per-complex dicts into padded ligand/pocket batch dicts."""
+    B = len(items)
+    a_nf = items[0]["lig_one_hot"].shape[1]
+    r_nf = items[0]["pocket_one_hot"].shape[1]
+
+    lig = {
+        "x": np.zeros((B, n_lig, 3), np.float32),
+        "one_hot": np.zeros((B, n_lig, a_nf), np.float32),
+        "mask": np.zeros((B, n_lig), np.float32),
+        "size": np.zeros((B,), np.int32),
+    }
+    pkt = {
+        "x": np.zeros((B, n_pocket, 3), np.float32),
+        "one_hot": np.zeros((B, n_pocket, r_nf), np.float32),
+        "mask": np.zeros((B, n_pocket), np.float32),
+        "size": np.zeros((B,), np.int32),
+    }
+    if "num_virtual_atoms" in items[0]:
+        lig["num_virtual_atoms"] = np.array(
+            [it["num_virtual_atoms"] for it in items], np.int32)
+
+    names = []
+    receptors = []
+    for b, it in enumerate(items):
+        nl = len(it["lig_coords"])
+        npk = len(it["pocket_coords"])
+        if nl > n_lig or npk > n_pocket:
+            raise ValueError(
+                f"complex ({nl}, {npk}) exceeds padded shape ({n_lig}, {n_pocket})")
+        lig["x"][b, :nl] = it["lig_coords"]
+        lig["one_hot"][b, :nl] = it["lig_one_hot"]
+        lig["mask"][b, :nl] = 1.0
+        lig["size"][b] = nl
+        pkt["x"][b, :npk] = it["pocket_coords"]
+        pkt["one_hot"][b, :npk] = it["pocket_one_hot"]
+        pkt["mask"][b, :npk] = 1.0
+        pkt["size"][b] = npk
+        names.append(it.get("names", ""))
+        receptors.append(it.get("receptors", ""))
+
+    return {"ligand": lig, "pocket": pkt, "names": names,
+            "receptors": receptors}
+
+
+class AppendVirtualNodes:
+    """Pad every ligand to a fixed size with 'Ne' virtual atoms sampled around
+    the real atoms (reference utils.py:207-234)."""
+
+    def __init__(self, max_ligand_size: int, atom_encoder: dict, symbol: str,
+                 rng: Optional[np.random.Generator] = None):
+        self.max_ligand_size = max_ligand_size
+        self.atom_encoder = atom_encoder
+        self.vidx = atom_encoder[symbol]
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data: dict) -> dict:
+        data = dict(data)
+        n_real = len(data["lig_coords"])
+        n_virt = self.max_ligand_size - n_real
+        mu = data["lig_coords"].mean(0, keepdims=True)
+        sigma = data["lig_coords"].std(0).max()
+        virt_coords = self.rng.standard_normal((n_virt, 3)).astype(np.float32) \
+            * sigma + mu
+
+        one_hot = data["lig_one_hot"]
+        # insert the virtual-atom column at vidx
+        one_hot = np.concatenate(
+            [one_hot[:, :self.vidx],
+             np.zeros((n_real, 1), one_hot.dtype),
+             one_hot[:, self.vidx:]], axis=1)
+        virt_one_hot = np.zeros((n_virt, len(self.atom_encoder)), one_hot.dtype)
+        virt_one_hot[:, self.vidx] = 1.0
+
+        data["lig_coords"] = np.concatenate(
+            [data["lig_coords"], virt_coords.astype(np.float32)])
+        data["lig_one_hot"] = np.concatenate([one_hot, virt_one_hot])
+        data["num_virtual_atoms"] = n_virt
+        return data
+
+
+class LigandPocketDataset:
+    """Per-complex view over a preprocessed npz split file.
+
+    Mirrors ProcessedLigandPocketDataset (/root/reference/dataset.py:7-50):
+    splits the flat arrays by the graph-id masks and centers each complex at
+    the joint ligand+pocket CoM.
+    """
+
+    def __init__(self, npz_path, center: bool = True,
+                 transform: Optional[Callable] = None):
+        self.transform = transform
+        with np.load(npz_path, allow_pickle=True) as f:
+            data = {key: val for key, val in f.items()}
+
+        self.data: Dict[str, list] = {}
+        for k, v in data.items():
+            if k in ("names", "receptors"):
+                self.data[k] = list(v)
+                continue
+            mask_key = "lig_mask" if "lig" in k else "pocket_mask"
+            sections = np.where(np.diff(data[mask_key]))[0] + 1
+            self.data[k] = [x.astype(np.float32) if x.dtype.kind == "f" else x
+                            for x in np.split(v, sections)]
+
+        if center:
+            for i in range(len(self.data["lig_coords"])):
+                lc = self.data["lig_coords"][i]
+                pc = self.data["pocket_coords"][i]
+                mean = (lc.sum(0) + pc.sum(0)) / (len(lc) + len(pc))
+                self.data["lig_coords"][i] = (lc - mean).astype(np.float32)
+                self.data["pocket_coords"][i] = (pc - mean).astype(np.float32)
+
+    def __len__(self):
+        return len(self.data["names"])
+
+    def __getitem__(self, idx) -> dict:
+        item = {k: v[idx] for k, v in self.data.items()}
+        if self.transform is not None:
+            item = self.transform(item)
+        return item
+
+    def max_sizes(self):
+        nl = max(len(c) for c in self.data["lig_coords"])
+        npk = max(len(c) for c in self.data["pocket_coords"])
+        return nl, npk
+
+
+class PaddedLoader:
+    """Shuffling batch iterator producing padded numpy batches.
+
+    Complexes are sorted into (lig, pocket) shape buckets so that only a
+    handful of distinct padded shapes (= XLA compilations) occur, while
+    batches stay dense.  ``fixed_shape=True`` pads everything to the global
+    maximum instead — one compilation, more padding.
+    """
+
+    def __init__(self, dataset: LigandPocketDataset, batch_size: int,
+                 lig_bucket: int = 8, pocket_bucket: int = 64,
+                 shuffle: bool = True, drop_last: bool = False,
+                 fixed_shape: bool = True,
+                 rng: Optional[np.random.Generator] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.lig_bucket = lig_bucket
+        self.pocket_bucket = pocket_bucket
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = rng or np.random.default_rng(0)
+        self.fixed_shape = fixed_shape
+        nl, npk = dataset.max_sizes()
+        self.n_lig_max = round_to_bucket(nl, lig_bucket)
+        self.n_pocket_max = round_to_bucket(npk, pocket_bucket)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, dict]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    continue
+                # repeat items so every batch has a static batch dimension
+                idx = np.concatenate(
+                    [idx, order[:self.batch_size - len(idx)]])
+            items = [self.dataset[int(i)] for i in idx]
+            if self.fixed_shape:
+                n_lig, n_pocket = self.n_lig_max, self.n_pocket_max
+            else:
+                n_lig = round_to_bucket(
+                    max(len(it["lig_coords"]) for it in items), self.lig_bucket)
+                n_pocket = round_to_bucket(
+                    max(len(it["pocket_coords"]) for it in items),
+                    self.pocket_bucket)
+            yield pad_batch(items, n_lig, n_pocket)
+
+
+def load_size_histogram(datadir) -> np.ndarray:
+    """size_distribution.npy written by the processing scripts."""
+    return np.load(Path(datadir, "size_distribution.npy"))

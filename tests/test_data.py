@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from diffsbdd_tpu.data.dataset import (AppendVirtualNodes,
+                                       LigandPocketDataset, PaddedLoader,
+                                       pad_batch, round_to_bucket)
+
+
+def make_npz(tmp_path, n_complexes=7, a_nf=4, r_nf=5, seed=0):
+    rng = np.random.default_rng(seed)
+    lig_coords, lig_oh, lig_mask = [], [], []
+    pkt_coords, pkt_oh, pkt_mask = [], [], []
+    names = []
+    for i in range(n_complexes):
+        nl = rng.integers(3, 9)
+        npk = rng.integers(5, 20)
+        lig_coords.append(rng.normal(size=(nl, 3)) + 5.0)
+        oh = np.eye(a_nf)[rng.integers(0, a_nf, nl)]
+        lig_oh.append(oh)
+        lig_mask.append(np.full(nl, i, dtype=float))
+        pkt_coords.append(rng.normal(size=(npk, 3)) - 5.0)
+        pkt_oh.append(np.eye(r_nf)[rng.integers(0, r_nf, npk)])
+        pkt_mask.append(np.full(npk, i, dtype=float))
+        names.append(f"complex_{i}")
+    path = tmp_path / "train.npz"
+    np.savez(
+        path, names=names,
+        lig_coords=np.concatenate(lig_coords),
+        lig_one_hot=np.concatenate(lig_oh),
+        lig_mask=np.concatenate(lig_mask),
+        pocket_coords=np.concatenate(pkt_coords),
+        pocket_one_hot=np.concatenate(pkt_oh),
+        pocket_mask=np.concatenate(pkt_mask))
+    return path
+
+
+def test_round_to_bucket():
+    assert round_to_bucket(5, 8) == 8
+    assert round_to_bucket(8, 8) == 8
+    assert round_to_bucket(9, 8) == 16
+    assert round_to_bucket(0, 8) == 8
+
+
+def test_dataset_loading_and_centering(tmp_path):
+    path = make_npz(tmp_path)
+    ds = LigandPocketDataset(path, center=True)
+    assert len(ds) == 7
+    item = ds[0]
+    # joint CoM at zero after centering (dataset.py:35-41 semantics)
+    total = item["lig_coords"].sum(0) + item["pocket_coords"].sum(0)
+    n = len(item["lig_coords"]) + len(item["pocket_coords"])
+    np.testing.assert_allclose(total / n, 0.0, atol=1e-5)
+    nl, npk = ds.max_sizes()
+    assert nl >= 3 and npk >= 5
+
+
+def test_padded_loader_shapes(tmp_path):
+    path = make_npz(tmp_path)
+    ds = LigandPocketDataset(path)
+    loader = PaddedLoader(ds, batch_size=3, lig_bucket=8, pocket_bucket=8,
+                          shuffle=True, rng=np.random.default_rng(1))
+    batches = list(loader)
+    assert len(batches) == 3  # ceil(7/3), last batch padded to full size
+    for b in batches:
+        lig, pkt = b["ligand"], b["pocket"]
+        assert lig["x"].shape == (3, loader.n_lig_max, 3)
+        assert pkt["x"].shape == (3, loader.n_pocket_max, 3)
+        # masks consistent with sizes
+        np.testing.assert_array_equal(lig["mask"].sum(1), lig["size"])
+        np.testing.assert_array_equal(pkt["mask"].sum(1), pkt["size"])
+        # padded lanes are zero
+        assert np.all(lig["x"][lig["mask"] == 0] == 0)
+
+
+def test_pad_batch_overflow_raises(tmp_path):
+    path = make_npz(tmp_path)
+    ds = LigandPocketDataset(path)
+    with pytest.raises(ValueError):
+        pad_batch([ds[0]], n_lig=1, n_pocket=1)
+
+
+def test_virtual_nodes_transform(tmp_path):
+    path = make_npz(tmp_path)
+    encoder = {"C": 0, "N": 1, "O": 2, "S": 3, "Ne": 4}
+    tf = AppendVirtualNodes(12, encoder, "Ne",
+                            rng=np.random.default_rng(0))
+    ds = LigandPocketDataset(path, transform=tf)
+    item = ds[0]
+    assert len(item["lig_coords"]) == 12
+    assert item["lig_one_hot"].shape == (12, 5)
+    n_virt = item["num_virtual_atoms"]
+    # virtual rows are one-hot on the Ne column
+    np.testing.assert_array_equal(
+        item["lig_one_hot"][-n_virt:, 4], np.ones(n_virt))
+    # real rows keep their original type (shifted around the inserted column)
+    assert item["lig_one_hot"][: 12 - n_virt, 4].sum() == 0

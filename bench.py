@@ -1,0 +1,102 @@
+"""Headline benchmark: pocket-conditional ligand sampling throughput.
+
+Workload (mirrors the reference's measurement machinery, BASELINE.md):
+T=500 denoising steps of the full-atom crossdock-sized conditional model
+(joint_nf=128, hidden_nf=256, 6 layers, attention+tanh, 5A edge cutoffs) on
+the 3rfm A:330 example pocket (286 heavy atoms), batch of ligands sampled
+per pocket.  Metric: molecules generated per second per chip.
+
+``vs_baseline`` compares against the PyTorch reference on A100 measured via
+test.py's time-per-pocket machinery; the repo stores no number (BASELINE.md),
+so we use 0.5 mol/s — a generous estimate for batch-120 sampling at T=500 on
+A100 (the paper reports minutes per 100-molecule pocket).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+TORCH_A100_BASELINE_MOL_PER_SEC = 0.5
+
+EXAMPLE_PDB = Path("/root/reference/example/3rfm.pdb")
+
+
+def get_pocket(module, n_samples):
+    """Real example pocket when available, synthetic otherwise."""
+    if EXAMPLE_PDB.exists():
+        from diffsbdd_tpu.chem.pdb import get_pocket_from_ligand, parse_pdb
+        struct = parse_pdb(EXAMPLE_PDB)
+        residues = get_pocket_from_ligand(struct, "A:330")
+        return module.prepare_pocket(residues, repeats=n_samples)
+    # synthetic fallback: a dense cluster with realistic density
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n = 286
+    n_pad = 320
+    coords = (rng.standard_normal((n, 3)) * 6.0).astype(np.float32)
+    types = rng.integers(0, module.residue_nf, n)
+    pocket = {
+        "x": np.zeros((n_samples, n_pad, 3), np.float32),
+        "one_hot": np.zeros((n_samples, n_pad, module.residue_nf), np.float32),
+        "mask": np.zeros((n_samples, n_pad), np.float32),
+        "size": np.full((n_samples,), n, np.int32),
+    }
+    pocket["x"][:, :n] = coords
+    pocket["one_hot"][:, :n, :] = np.eye(module.residue_nf)[types][None]
+    pocket["mask"][:, :n] = 1.0
+    return {k: jnp.asarray(v) for k, v in pocket.items()}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_module
+    from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
+
+    T = 500
+    batch = 16
+    n_lig = 24
+
+    cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T)
+    params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
+    pocket = get_pocket(module, batch)
+
+    rng_np = np.random.default_rng(0)
+    num_nodes = module.ddpm.size_distribution.sample_conditional(
+        n2=np.asarray(pocket["size"]), rng=rng_np)
+    num_nodes = np.clip(num_nodes, 8, n_lig)
+    lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, n_lig))
+
+    sample = module.ddpm.sample_given_pocket
+
+    # compile + warmup at a short schedule (same compiled shapes per step)
+    key = jax.random.PRNGKey(1)
+    out = sample(params, key, pocket, lig_mask, timesteps=T)
+    jax.block_until_ready(out)
+
+    n_runs = 1
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = sample(params, jax.random.PRNGKey(2 + i), pocket, lig_mask,
+                     timesteps=T)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_runs
+
+    mols_per_sec = batch / dt
+    result = {
+        "metric": "molecules_per_sec_per_chip_T500",
+        "value": round(mols_per_sec, 4),
+        "unit": "mol/s",
+        "vs_baseline": round(mols_per_sec / TORCH_A100_BASELINE_MOL_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

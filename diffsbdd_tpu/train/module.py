@@ -329,8 +329,8 @@ class LigandPocketDDPM:
 
         # translate back into the original pocket frame
         pkt_m = np.asarray(pocket["mask"])
-        xh_lig = np.asarray(xh_lig)
-        xh_pocket = np.asarray(xh_pocket)
+        xh_lig = np.array(xh_lig)      # writable host copies
+        xh_pocket = np.array(xh_pocket)
         com_after = (xh_pocket[..., :3] * pkt_m[..., None]).sum(1) \
             / pkt_m.sum(1)[..., None]
         shift = pocket_com_before - com_after

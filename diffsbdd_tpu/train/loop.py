@@ -191,7 +191,13 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.logger = logger
-        self.mesh = make_mesh(cfg.tpu.mesh_data)
+        import jax as _jax
+        n_dev = cfg.tpu.mesh_data if cfg.tpu.mesh_data > 0 \
+            else len(_jax.devices())
+        # the data axis must divide the batch size
+        while cfg.batch_size % n_dev != 0:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev)
         self.train_step = make_train_step(module, cfg.lr, cfg.clip_grad)
         self.eval_step = make_eval_step(module)
         self.best_val = float("inf")
@@ -225,6 +231,8 @@ class Trainer:
                 val_loss = float(np.mean(val_losses))
                 self.log({"loss": val_loss}, "val", int(state.step))
                 cfg_dict = self.cfg.to_dict()
+                cfg_dict["node_histogram"] = np.asarray(
+                    self.module.ddpm.size_distribution.prob).tolist()
                 save_checkpoint(self.ckpt_dir, state, cfg_dict, name="last")
                 if val_loss < self.best_val:
                     self.best_val = val_loss

@@ -140,25 +140,29 @@ class LigandPocketDDPM:
                 mode=loss_params.schedule)
 
     # ------------------------------------------------------------------ setup
-    def example_batch(self, batch_size: int = 2):
-        """Zero-filled batch at the configured padded shapes (for init)."""
+    def example_batch(self, batch_size: int = 2, n_lig: Optional[int] = None,
+                      n_pocket: Optional[int] = None):
+        """Zero-filled batch (defaults to the configured padded shapes)."""
+        n_lig = n_lig or self.n_lig_max
+        n_pocket = n_pocket or self.n_pocket_max
         lig = {
-            "x": jnp.zeros((batch_size, self.n_lig_max, 3)),
-            "one_hot": jnp.zeros((batch_size, self.n_lig_max, self.atom_nf)),
-            "mask": jnp.ones((batch_size, self.n_lig_max)),
-            "size": jnp.full((batch_size,), self.n_lig_max, jnp.int32),
+            "x": jnp.zeros((batch_size, n_lig, 3)),
+            "one_hot": jnp.zeros((batch_size, n_lig, self.atom_nf)),
+            "mask": jnp.ones((batch_size, n_lig)),
+            "size": jnp.full((batch_size,), n_lig, jnp.int32),
         }
         pkt = {
-            "x": jnp.zeros((batch_size, self.n_pocket_max, 3)),
-            "one_hot": jnp.zeros(
-                (batch_size, self.n_pocket_max, self.residue_nf)),
-            "mask": jnp.ones((batch_size, self.n_pocket_max)),
-            "size": jnp.full((batch_size,), self.n_pocket_max, jnp.int32),
+            "x": jnp.zeros((batch_size, n_pocket, 3)),
+            "one_hot": jnp.zeros((batch_size, n_pocket, self.residue_nf)),
+            "mask": jnp.ones((batch_size, n_pocket)),
+            "size": jnp.full((batch_size,), n_pocket, jnp.int32),
         }
         return lig, pkt
 
-    def init_params(self, rng, batch_size: int = 2):
-        lig, pkt = self.example_batch(batch_size)
+    def init_params(self, rng, batch_size: int = 1):
+        # parameter shapes are independent of the node axes, so initialize on
+        # tiny graphs — a full-shape init would pay a full forward compile
+        lig, pkt = self.example_batch(batch_size, n_lig=4, n_pocket=4)
         return self.ddpm.init_params(rng, lig, pkt)
 
     # ------------------------------------------------------------------- loss

@@ -1,0 +1,540 @@
+"""Fused Pallas TPU kernels for the EGNN hot loop.
+
+The dense-XLA EGNN (models/egnn.py) materializes O(B*N^2*H) message tensors
+in HBM at every matmul boundary, which makes the T-step sampler HBM-bandwidth
+bound (~130 ms/step measured at B=16, N=344, H=256 on v5e).  These kernels
+tile the pairwise computation over (row, col) blocks held in VMEM, so the
+per-pair MLPs + attention gating + masked aggregation never touch HBM:
+
+* ``gcl_message_agg_pallas``  — edge MLP + sigmoid attention + masked row-sum
+  (the fused pairwise part of DenseGCL; reference semantics
+  egnn_new.py:31-57).
+* ``coord_update_agg_pallas`` — coordinate MLP (+ optional SE(3)
+  cross-product MLP) + tanh clamping + masked row-sum of relative-direction
+  translations (reference semantics egnn_new.py:96-122).
+
+Both kernels also *rebuild the adjacency on the fly* from coordinates and the
+distance cutoffs, so the (B, N, N) adjacency never exists in memory at all.
+
+The cheap O(N) parts (per-node first-layer projections via the split kernel,
+node MLP, residuals) stay in XLA where fusion already handles them.
+
+Layout contract: N must be a multiple of the tiles; callers pad the node axis
+(padded lanes carry mask=0 and are ignored everywhere).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_I = 64
+TILE_J = 128
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _pair_distance2(x_i, x_j):
+    """Squared distances between row/col coordinate tiles, axis-by-axis so
+    every intermediate is a clean (T_i, T_j) VPU tile."""
+    d2 = None
+    for a in range(3):
+        diff = x_i[:, a][:, None] - x_j[:, a][None, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
+
+
+def _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs):
+    """Masked adjacency for one tile with per-pair-type distance cutoffs
+    (dynamics.py:169-187 semantics; self-edges kept)."""
+    cutoff_l, cutoff_p, cutoff_i = cutoffs
+    valid = mask_i[:, None] * mask_j[None, :]
+    ll = lig_i[:, None] * lig_j[None, :]
+    pp = (1.0 - lig_i)[:, None] * (1.0 - lig_j)[None, :]
+    cross = 1.0 - ll - pp
+
+    ok = jnp.zeros_like(valid)
+    ok = ok + (ll if cutoff_l is None
+               else ll * (d2 <= cutoff_l * cutoff_l))
+    ok = ok + (pp if cutoff_p is None
+               else pp * (d2 <= cutoff_p * cutoff_p))
+    ok = ok + (cross if cutoff_i is None
+               else cross * (d2 <= cutoff_i * cutoff_i))
+    return valid * ok
+
+
+def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
+    """Per-pair first-layer contribution of the edge features.
+
+    Edge features are [d2_current, d2_initial(, edge_type_embedding)]; the
+    projected type embedding enters as a (2, 2, F) table expanded with
+    is-ligand indicator outer products (gather-free)."""
+    out = d2[:, :, None] * w_d2[None, None, :] \
+        + d2_0[:, :, None] * w_d20[None, None, :]
+    if type_bias is not None:
+        li = lig_i[:, None, None]
+        lj = lig_j[None, :, None]
+        out = out + (1 - li) * (1 - lj) * type_bias[0, 0][None, None, :] \
+            + (1 - li) * lj * type_bias[0, 1][None, None, :] \
+            + li * (1 - lj) * type_bias[1, 0][None, None, :] \
+            + li * lj * type_bias[1, 1][None, None, :]
+    return out
+
+
+def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
+              w2, b2, w3):
+    """silu(first layer) -> silu(dense) -> dense(head): shared tile helper."""
+    ti = a_i.shape[0]
+    tj = a_j.shape[0]
+    pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
+        d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
+    m = _silu(pre).reshape(ti * tj, -1)
+    m = _silu(jnp.dot(m, w2, preferred_element_type=jnp.float32) + b2)
+    if w3 is None:
+        return m
+    return jnp.dot(m, w3, preferred_element_type=jnp.float32).reshape(ti, tj)
+
+
+# ---------------------------------------------------------------------------
+# message aggregation kernel
+# ---------------------------------------------------------------------------
+
+def _make_gcl_kernel(n_tiles_j, cutoffs, attention, has_type_bias,
+                     normalization_factor):
+    def kernel(a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
+               wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
+               batt_ref, out_ref):
+        i = pl.program_id(1)
+        ti = a_row_ref.shape[1]
+        a_i = a_row_ref[0]
+        x_i = x_ref[0, pl.ds(i * ti, ti), :]
+        x0_i = x0_ref[0, pl.ds(i * ti, ti), :]
+        mask_i = mask_ref[0, pl.ds(i * ti, ti)]
+        lig_i = lig_ref[0, pl.ds(i * ti, ti)]
+        type_bias = tbias_ref[:] if has_type_bias else None
+
+        def body(j, acc):
+            tj = TILE_J
+            a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
+            x_j = x_ref[0, pl.ds(j * tj, tj), :]
+            x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
+            mask_j = mask_ref[0, pl.ds(j * tj, tj)]
+            lig_j = lig_ref[0, pl.ds(j * tj, tj)]
+
+            d2 = _pair_distance2(x_i, x_j)
+            d2_0 = _pair_distance2(x0_i, x0_j)
+            m = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
+                          wd2_ref[0], wd20_ref[0], type_bias,
+                          w2_ref[:], b2_ref[0], None)
+            if attention:
+                att = jax.nn.sigmoid(
+                    jnp.dot(m, watt_ref[:], preferred_element_type=jnp.float32)
+                    + batt_ref[0])
+                m = m * att
+            adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
+            m = m.reshape(ti, tj, -1) * adj[:, :, None]
+            return acc + jnp.sum(m, axis=1)
+
+        acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
+        out_ref[0] = acc / normalization_factor
+
+    return kernel
+
+
+def gcl_message_agg_pallas(
+        a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+        w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
+        interpret=False):
+    """Aggregated attention-gated messages -> (B, N, F).
+
+    a_row/a_col: per-node projections of h through the split first-layer
+    kernel (first-layer bias folded into a_row); w_d2/w_d20: first-layer rows
+    for the two distance features; type_bias: optional (2, 2, F) projected
+    edge-type table.
+    """
+    B, N, F = a_row.shape
+    assert N % TILE_J == 0 and N % TILE_I == 0, N
+    has_type_bias = type_bias is not None
+    if type_bias is None:
+        type_bias = jnp.zeros((2, 2, F), a_row.dtype)
+    if w_att is None:
+        w_att = jnp.zeros((F, 1), a_row.dtype)
+        b_att = jnp.zeros((1,), a_row.dtype)
+
+    kernel = _make_gcl_kernel(
+        n_tiles_j=N // TILE_J, cutoffs=cutoffs, attention=attention,
+        has_type_bias=has_type_bias,
+        normalization_factor=normalization_factor)
+
+    full = lambda b, i: (b, 0, 0)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // TILE_I),
+        in_specs=[
+            pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            const2((1, F)), const2((1, F)), const2((2, 2, F)),
+            const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        interpret=interpret,
+    )(a_row, a_col, x, x0, mask, is_lig,
+      w_d2.reshape(1, F), w_d20.reshape(1, F), type_bias,
+      w2, b2.reshape(1, F), w_att, b_att.reshape(1, 1))
+
+
+# ---------------------------------------------------------------------------
+# coordinate update kernel
+# ---------------------------------------------------------------------------
+
+def _make_coord_kernel(n_tiles_j, cutoffs, has_type_bias, tanh, coords_range,
+                       reflection_equiv, norm_constant, normalization_factor):
+    def kernel(*refs):
+        if reflection_equiv:
+            (a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
+             wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
+             out_ref) = refs
+        else:
+            (a_row_ref, a_col_ref, c_row_ref, c_col_ref, x_ref, x0_ref,
+             mean_ref, mask_ref, lig_ref,
+             wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
+             cwd2_ref, cwd20_ref, ctbias_ref, cw2_ref, cb2_ref, cw3_ref,
+             out_ref) = refs
+
+        i = pl.program_id(1)
+        ti = a_row_ref.shape[1]
+        a_i = a_row_ref[0]
+        x_i = x_ref[0, pl.ds(i * ti, ti), :]
+        x0_i = x0_ref[0, pl.ds(i * ti, ti), :]
+        mask_i = mask_ref[0, pl.ds(i * ti, ti)]
+        lig_i = lig_ref[0, pl.ds(i * ti, ti)]
+        type_bias = tbias_ref[:] if has_type_bias else None
+        if not reflection_equiv:
+            c_i = c_row_ref[0]
+            mean = mean_ref[0]
+            ctype_bias = ctbias_ref[:] if has_type_bias else None
+
+        def body(j, acc):
+            tj = TILE_J
+            a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
+            x_j = x_ref[0, pl.ds(j * tj, tj), :]
+            x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
+            mask_j = mask_ref[0, pl.ds(j * tj, tj)]
+            lig_j = lig_ref[0, pl.ds(j * tj, tj)]
+
+            d2 = _pair_distance2(x_i, x_j)
+            d2_0 = _pair_distance2(x0_i, x0_j)
+            adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
+
+            phi = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
+                            wd2_ref[0], wd20_ref[0], type_bias,
+                            w2_ref[:], b2_ref[0], w3_ref[:])
+            if tanh:
+                phi = jnp.tanh(phi) * coords_range
+            norm = jnp.sqrt(d2 + 1e-8) + norm_constant
+            w = phi / norm * adj
+
+            if not reflection_equiv:
+                c_j = c_col_ref[0, pl.ds(j * tj, tj), :]
+                phi_c = _pair_mlp(c_i, c_j, d2, d2_0, lig_i, lig_j,
+                                  cwd2_ref[0], cwd20_ref[0], ctype_bias,
+                                  cw2_ref[:], cb2_ref[0], cw3_ref[:])
+                if tanh:
+                    phi_c = jnp.tanh(phi_c) * coords_range
+                xi = [x_i[:, a] - mean[a] for a in range(3)]
+                xj = [x_j[:, a] - mean[a] for a in range(3)]
+                cx = xi[1][:, None] * xj[2][None, :] \
+                    - xi[2][:, None] * xj[1][None, :]
+                cy = xi[2][:, None] * xj[0][None, :] \
+                    - xi[0][:, None] * xj[2][None, :]
+                cz = xi[0][:, None] * xj[1][None, :] \
+                    - xi[1][:, None] * xj[0][None, :]
+                cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz) + norm_constant
+                wc = phi_c / cnorm * adj
+                cross = (cx, cy, cz)
+
+            cols = []
+            for a in range(3):
+                diff_a = x_i[:, a][:, None] - x_j[:, a][None, :]
+                t_a = jnp.sum(w * diff_a, axis=1)
+                if not reflection_equiv:
+                    t_a = t_a + jnp.sum(wc * cross[a], axis=1)
+                cols.append(t_a)
+            return acc + jnp.stack(cols, axis=1)
+
+        acc = jnp.zeros((ti, 3), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
+        out_ref[0] = acc / normalization_factor
+
+    return kernel
+
+
+def coord_update_agg_pallas(
+        a_row, a_col, x, x0, mask, is_lig,
+        w_d2, w_d20, type_bias, w2, b2, w3, *,
+        cutoffs, tanh, coords_range, norm_constant, normalization_factor,
+        cross=None, graph_mean=None, interpret=False):
+    """Aggregated coordinate translations -> (B, N, 3).
+
+    ``cross``: optional dict with the cross-product MLP pieces
+    {a_row, a_col, w_d2, w_d20, type_bias, w2, b2, w3} for the
+    reflection-symmetry-breaking SE(3) term; requires ``graph_mean`` (B, 3).
+    """
+    B, N, F = a_row.shape
+    assert N % TILE_J == 0 and N % TILE_I == 0, N
+    reflection_equiv = cross is None
+    has_type_bias = type_bias is not None
+    if type_bias is None:
+        type_bias = jnp.zeros((2, 2, F), a_row.dtype)
+
+    kernel = _make_coord_kernel(
+        n_tiles_j=N // TILE_J, cutoffs=cutoffs, has_type_bias=has_type_bias,
+        tanh=tanh, coords_range=coords_range,
+        reflection_equiv=reflection_equiv, norm_constant=norm_constant,
+        normalization_factor=normalization_factor)
+
+    full = lambda b, i: (b, 0, 0)
+    row_spec = pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((1, N), lambda b, i: (b, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    in_specs = [row_spec, col_spec]
+    args = [a_row, a_col]
+    if not reflection_equiv:
+        in_specs += [row_spec, col_spec]
+        args += [cross["a_row"], cross["a_col"]]
+    in_specs += [x_spec, x_spec]
+    args += [x, x0]
+    if not reflection_equiv:
+        in_specs += [pl.BlockSpec((1, 3), lambda b, i: (b, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [graph_mean]
+    in_specs += [n_spec, n_spec,
+                 const2((1, F)), const2((1, F)), const2((2, 2, F)),
+                 const2((F, F)), const2((1, F)), const2((F, 1))]
+    args += [mask, is_lig, w_d2.reshape(1, F), w_d20.reshape(1, F),
+             type_bias, w2, b2.reshape(1, F), w3]
+    if not reflection_equiv:
+        ctb = cross["type_bias"]
+        if ctb is None:
+            ctb = jnp.zeros((2, 2, F), a_row.dtype)
+        in_specs += [const2((1, F)), const2((1, F)), const2((2, 2, F)),
+                     const2((F, F)), const2((1, F)), const2((F, 1))]
+        args += [cross["w_d2"].reshape(1, F), cross["w_d20"].reshape(1, F),
+                 ctb, cross["w2"], cross["b2"].reshape(1, F), cross["w3"]]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // TILE_I),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TILE_I, 3), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# XLA mirrors (used for the custom-VJP backward pass and correctness tests)
+# ---------------------------------------------------------------------------
+
+def _adjacency_dense(d2, mask, is_lig, cutoffs):
+    cutoff_l, cutoff_p, cutoff_i = cutoffs
+    valid = mask[:, :, None] * mask[:, None, :]
+    ll = is_lig[:, :, None] * is_lig[:, None, :]
+    pp = (1 - is_lig)[:, :, None] * (1 - is_lig)[:, None, :]
+    cross = 1.0 - ll - pp
+    ok = jnp.zeros_like(valid)
+    ok = ok + (ll if cutoff_l is None else ll * (d2 <= cutoff_l**2))
+    ok = ok + (pp if cutoff_p is None else pp * (d2 <= cutoff_p**2))
+    ok = ok + (cross if cutoff_i is None else cross * (d2 <= cutoff_i**2))
+    return valid * ok
+
+
+def _edge_bias_dense(d2, d2_0, w_d2, w_d20, is_lig, type_bias):
+    out = d2[..., None] * w_d2 + d2_0[..., None] * w_d20
+    if type_bias is not None:
+        li = is_lig[:, :, None, None]
+        lj = is_lig[:, None, :, None]
+        out = out + (1 - li) * (1 - lj) * type_bias[0, 0] \
+            + (1 - li) * lj * type_bias[0, 1] \
+            + li * (1 - lj) * type_bias[1, 0] \
+            + li * lj * type_bias[1, 1]
+    return out
+
+
+def gcl_message_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
+                        type_bias, w2, b2, w_att, b_att, *, cutoffs,
+                        attention, normalization_factor):
+    """Dense-XLA twin of the fused GCL kernel (same math, O(N^2) in HBM)."""
+    d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
+    d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
+    pre = a_row[:, :, None, :] + a_col[:, None, :, :] + _edge_bias_dense(
+        d2, d2_0, w_d2, w_d20, is_lig, type_bias)
+    m = _silu(pre)
+    m = _silu(m @ w2 + b2)
+    if attention:
+        m = m * jax.nn.sigmoid(m @ w_att + b_att)
+    adj = _adjacency_dense(d2, mask, is_lig, cutoffs)
+    m = m * adj[..., None]
+    return jnp.sum(m, axis=2) / normalization_factor
+
+
+def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
+                         type_bias, w2, b2, w3, *, cutoffs, tanh,
+                         coords_range, norm_constant, normalization_factor,
+                         cross=None, graph_mean=None):
+    """Dense-XLA twin of the fused coordinate-update kernel."""
+    d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
+    d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
+    adj = _adjacency_dense(d2, mask, is_lig, cutoffs)
+
+    pre = a_row[:, :, None, :] + a_col[:, None, :, :] + _edge_bias_dense(
+        d2, d2_0, w_d2, w_d20, is_lig, type_bias)
+    m = _silu(pre)
+    m = _silu(m @ w2 + b2)
+    phi = (m @ w3)[..., 0]
+    if tanh:
+        phi = jnp.tanh(phi) * coords_range
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    norm = jnp.sqrt(d2 + 1e-8) + norm_constant
+    trans = diff / norm[..., None] * phi[..., None]
+
+    if cross is not None:
+        pre_c = cross["a_row"][:, :, None, :] + cross["a_col"][:, None, :, :] \
+            + _edge_bias_dense(d2, d2_0, cross["w_d2"], cross["w_d20"],
+                               is_lig, cross["type_bias"])
+        mc = _silu(pre_c)
+        mc = _silu(mc @ cross["w2"] + cross["b2"])
+        phi_c = (mc @ cross["w3"])[..., 0]
+        if tanh:
+            phi_c = jnp.tanh(phi_c) * coords_range
+        xc = x - graph_mean[:, None, :]
+        cr = jnp.cross(
+            jnp.broadcast_to(xc[:, :, None, :], d2.shape + (3,)),
+            jnp.broadcast_to(xc[:, None, :, :], d2.shape + (3,)))
+        cnorm = jnp.linalg.norm(cr, axis=-1, keepdims=True) + norm_constant
+        trans = trans + cr / cnorm * phi_c[..., None]
+
+    trans = trans * adj[..., None]
+    return jnp.sum(trans, axis=2) / normalization_factor
+
+
+# ---------------------------------------------------------------------------
+# differentiable public entry points: Pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gcl_agg_cvjp(cfg, operands):
+    cutoffs, attention, nf, interpret = cfg
+    return gcl_message_agg_pallas(
+        *operands, cutoffs=cutoffs, attention=attention,
+        normalization_factor=nf, interpret=interpret)
+
+
+def _gcl_agg_fwd(cfg, operands):
+    return _gcl_agg_cvjp(cfg, operands), operands
+
+
+def _gcl_agg_bwd(cfg, operands, g):
+    cutoffs, attention, nf, _ = cfg
+
+    def f(ops):
+        return gcl_message_agg_xla(
+            *ops, cutoffs=cutoffs, attention=attention,
+            normalization_factor=nf)
+
+    _, vjp = jax.vjp(f, operands)
+    return vjp(g)
+
+
+_gcl_agg_cvjp.defvjp(_gcl_agg_fwd, _gcl_agg_bwd)
+
+
+def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
+                    type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
+                    normalization_factor, impl="pallas", interpret=False):
+    """Fused (or dense) GCL message aggregation, differentiable either way."""
+    if impl == "xla":
+        return gcl_message_agg_xla(
+            a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
+            b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
+            normalization_factor=normalization_factor)
+    cfg = (tuple(cutoffs), attention, float(normalization_factor), interpret)
+    operands = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+                w2, b2, w_att, b_att)
+    return _gcl_agg_cvjp(cfg, operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _coord_agg_cvjp(cfg, operands):
+    cutoffs, tanh, coords_range, norm_constant, nf, interpret = cfg
+    main, cross, graph_mean = operands
+    return coord_update_agg_pallas(
+        *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
+        norm_constant=norm_constant, normalization_factor=nf,
+        cross=cross, graph_mean=graph_mean, interpret=interpret)
+
+
+def _coord_agg_fwd(cfg, operands):
+    return _coord_agg_cvjp(cfg, operands), operands
+
+
+def _coord_agg_bwd(cfg, operands, g):
+    cutoffs, tanh, coords_range, norm_constant, nf, _ = cfg
+
+    def f(ops):
+        main, cross, graph_mean = ops
+        return coord_update_agg_xla(
+            *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
+            norm_constant=norm_constant, normalization_factor=nf,
+            cross=cross, graph_mean=graph_mean)
+
+    _, vjp = jax.vjp(f, operands)
+    return vjp(g)
+
+
+_coord_agg_cvjp.defvjp(_coord_agg_fwd, _coord_agg_bwd)
+
+
+def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
+                     type_bias, w2, b2, w3, *, cutoffs, tanh, coords_range,
+                     norm_constant, normalization_factor, cross=None,
+                     graph_mean=None, impl="pallas", interpret=False):
+    """Fused (or dense) coordinate-update aggregation, differentiable."""
+    if impl == "xla":
+        return coord_update_agg_xla(
+            a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
+            b2, w3, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
+            norm_constant=norm_constant,
+            normalization_factor=normalization_factor, cross=cross,
+            graph_mean=graph_mean)
+    cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
+           float(normalization_factor), interpret)
+    main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+            w2, b2, w3)
+    return _coord_agg_cvjp(cfg, (main, cross, graph_mean))

@@ -113,6 +113,7 @@ _DEFAULTS: Dict[str, Any] = {
         "mesh_data": -1,          # -1: all visible devices on the data axis
         "compute_dtype": "float32",
         "remat": True,            # rematerialize EGNN blocks in training
+        "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
     },
 }
 

@@ -97,6 +97,16 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     n_dims: int = 3
     zero_nan: bool = False  # training-time NaN guard (dynamics.py:155-158)
+    impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    interpret: bool = False
+    kernel_tile: int = 128
+
+    def _resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        if self.sin_embedding or self.mode != "egnn_dynamics":
+            return "xla"
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
@@ -121,23 +131,41 @@ class EGNNDynamics(nn.Module):
             h_time = jnp.broadcast_to(t[:, None, :], (B, NL + NP, 1)).astype(h.dtype)
             h = jnp.concatenate([h, h_time], axis=-1)
 
-        adj = build_adjacency(
-            x_lig, x_pkt, mask_lig, mask_pkt,
-            self.edge_cutoff_ligand, self.edge_cutoff_pocket,
-            self.edge_cutoff_interaction)
+        impl = self._resolve_impl()
+        cutoffs = (self.edge_cutoff_ligand, self.edge_cutoff_pocket,
+                   self.edge_cutoff_interaction)
 
         # learnable 3-way edge-type embedding: 0=cross, 1=lig-lig, 2=pkt-pkt
         edge_attr = None
+        type_table = None
         in_edge_nf = 0
         if self.edge_embedding_dim is not None:
-            both_lig = is_lig[:, :, None] * is_lig[:, None, :]
-            both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
-            edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
             table = nn.Embed(3, self.edge_embedding_dim, name="edge_embedding")
-            edge_attr = table(edge_type)
+            type_table = table(jnp.arange(3))
             in_edge_nf = self.edge_embedding_dim
 
         if self.mode == "egnn_dynamics":
+            n_orig = NL + NP
+            if impl == "pallas":
+                # fused kernels rebuild adjacency per tile; pad N to the tile
+                pad = (-n_orig) % self.kernel_tile
+                if pad:
+                    padf = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+                    h, x, mask, is_lig = map(padf, (h, x, mask, is_lig))
+                adj = None
+                fused_ctx = dict(mask=mask, is_lig=is_lig,
+                                 type_table=type_table, cutoffs=cutoffs,
+                                 tile_i=min(64, self.kernel_tile),
+                                 tile_j=self.kernel_tile)
+            else:
+                fused_ctx = None
+                adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)
+                if type_table is not None:
+                    both_lig = is_lig[:, :, None] * is_lig[:, None, :]
+                    both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
+                    edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
+                    edge_attr = type_table[edge_type]
+
             update_coords_mask = None if self.update_pocket_coords else is_lig
             h_final, x_final = EGNN(
                 hidden_nf=self.hidden_nf,
@@ -150,11 +178,23 @@ class EGNNDynamics(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 reflection_equiv=self.reflection_equivariant,
+                impl=impl, interpret=self.interpret,
                 name="egnn")(
                 h, x, adj, mask, edge_attr=edge_attr,
-                update_coords_mask=update_coords_mask)
+                update_coords_mask=update_coords_mask, fused_ctx=fused_ctx)
+            if impl == "pallas" and h_final.shape[1] != n_orig:
+                h_final = h_final[:, :n_orig]
+                x_final = x_final[:, :n_orig]
+                x = x[:, :n_orig]
+                mask = mask[:, :n_orig]
             vel = (x_final - x) * mask[..., None]
         elif self.mode == "gnn_dynamics":
+            adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)
+            if type_table is not None:
+                both_lig = is_lig[:, :, None] * is_lig[:, None, :]
+                both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
+                edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
+                edge_attr = type_table[edge_type]
             xh = jnp.concatenate([x, h], axis=-1)
             out = GNN(hidden_nf=self.hidden_nf,
                       out_node_nf=nd + self.joint_nf + int(self.condition_time),

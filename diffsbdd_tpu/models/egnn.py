@@ -13,8 +13,10 @@ hardware, none of which change the math on valid nodes:
   ``W = [W_i; W_j; W_e]``, ``W_i h_i + W_j h_j`` is computed with two
   ``(B,N,H)x(H,F)`` matmuls and broadcast over pairs, so only the genuinely
   pairwise ``F x F`` work runs at O(N^2) — exactly the shape the MXU wants.
-* All O(N^2) work is organized so a fused Pallas kernel can later tile it
-  (see diffsbdd_tpu/ops/egnn_pallas.py).
+* The O(N^2) pairwise work has two interchangeable implementations selected
+  by ``impl``: a dense XLA path (always available; supports sin embeddings)
+  and the fused Pallas kernels of diffsbdd_tpu/ops/egnn_pallas.py, which keep
+  the per-pair MLPs in VMEM and rebuild the adjacency on the fly.
 
 Component map (reference -> here):
   GCL (egnn_new.py:6-66)                 -> DenseGCL
@@ -28,11 +30,13 @@ Component map (reference -> here):
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from diffsbdd_tpu.ops import egnn_pallas as fused
 
 SIN_EMB_MAX_RES = 15.0
 SIN_EMB_MIN_RES = 15.0 / 2000.0
@@ -69,11 +73,8 @@ def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0):
 
 
 def coord2cross(x: jnp.ndarray, node_mask: jnp.ndarray, norm_constant: float = 1.0):
-    """Pairwise normalized cross products about the per-graph CoM.
-
-    The reference computes the mean over the full combined graph
-    (egnn_new.py:305-316); here that is the masked mean over the padded axis.
-    """
+    """Pairwise normalized cross products about the per-graph CoM
+    (egnn_new.py:305-316 with the masked-mean replacing scatter-mean)."""
     count = jnp.maximum(jnp.sum(node_mask, axis=1, keepdims=True), 1e-12)
     mean = jnp.sum(x * node_mask[..., None], axis=1, keepdims=True) / count[..., None]
     xc = x - mean
@@ -83,6 +84,29 @@ def coord2cross(x: jnp.ndarray, node_mask: jnp.ndarray, norm_constant: float = 1
     )
     norm = jnp.linalg.norm(cross, axis=-1, keepdims=True)
     return cross / (norm + norm_constant)
+
+
+def masked_graph_mean(x, node_mask):
+    count = jnp.maximum(jnp.sum(node_mask, axis=1), 1e-12)
+    return jnp.sum(x * node_mask[..., None], axis=1) / count[..., None]
+
+
+class DenseParams(nn.Module):
+    """Parameter container with nn.Dense's tree layout ({kernel, bias}) but
+    direct array access, so fused kernels can consume the weights."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        return kernel, bias
 
 
 def _split_pair_dense(kernel, bias, h, edge_feat, node_dim):
@@ -101,6 +125,28 @@ def _split_pair_dense(kernel, bias, h, edge_feat, node_dim):
     return pre + bias
 
 
+def _split_first_layer(kernel, bias, h):
+    """Per-node row/col projections (+bias folded into rows) for the fused
+    kernels; also returns the distance-feature rows and edge-embedding rows."""
+    H = h.shape[-1]
+    a_row = h @ kernel[:H] + bias
+    a_col = h @ kernel[H:2 * H]
+    w_e = kernel[2 * H:]
+    return a_row, a_col, w_e[0], w_e[1], w_e[2:]
+
+
+def _type_bias_table(type_table, w_types):
+    """(3, e_nf) embedding + (e_nf, F) first-layer rows -> (2, 2, F) table
+    indexed by (is_lig_i, is_lig_j); types: 0=cross, 1=lig-lig, 2=pkt-pkt."""
+    if type_table is None:
+        return None
+    proj = type_table @ w_types  # (3, F)
+    return jnp.stack([
+        jnp.stack([proj[2], proj[0]]),   # (pkt, pkt), (pkt, lig)
+        jnp.stack([proj[0], proj[1]]),   # (lig, pkt), (lig, lig)
+    ])
+
+
 class DenseGCL(nn.Module):
     """Invariant node update: pairwise edge MLP + masked sum + residual MLP."""
 
@@ -109,30 +155,49 @@ class DenseGCL(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     attention: bool = False
+    impl: str = "xla"
+    interpret: bool = False
 
     @nn.compact
-    def __call__(self, h, edge_feat, adj, node_mask):
+    def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None):
         B, N, H = h.shape
-        # edge MLP: Linear(2H+E -> F), silu, Linear(F -> F), silu
         k1 = self.param("edge_mlp_0_kernel", nn.initializers.lecun_normal(),
                         (2 * H + self.edges_in_d, self.hidden_nf))
-        b1 = self.param("edge_mlp_0_bias", nn.initializers.zeros, (self.hidden_nf,))
-        mij = jax.nn.silu(_split_pair_dense(k1, b1, h, edge_feat, H))
-        mij = jax.nn.silu(nn.Dense(self.hidden_nf, name="edge_mlp_2")(mij))
-
-        out = mij
+        b1 = self.param("edge_mlp_0_bias", nn.initializers.zeros,
+                        (self.hidden_nf,))
+        k2, b2 = DenseParams(self.hidden_nf, self.hidden_nf,
+                             name="edge_mlp_2")()
         if self.attention:
-            att = jax.nn.sigmoid(nn.Dense(1, name="att_mlp_0")(mij))
-            out = mij * att
-        out = out * adj[..., None]
-
-        if self.aggregation_method == "sum":
-            agg = jnp.sum(out, axis=2) / self.normalization_factor
-        elif self.aggregation_method == "mean":
-            denom = jnp.maximum(jnp.sum(adj, axis=2, keepdims=False), 1.0)
-            agg = jnp.sum(out, axis=2) / denom[..., None]
+            k_att, b_att = DenseParams(self.hidden_nf, 1, name="att_mlp_0")()
         else:
-            raise ValueError(self.aggregation_method)
+            k_att, b_att = None, None
+
+        if fused_ctx is not None and self.impl == "pallas":
+            assert self.aggregation_method == "sum"
+            a_row, a_col, w_d2, w_d20, w_types = _split_first_layer(k1, b1, h)
+            agg = fused.gcl_message_agg(
+                a_row, a_col, fused_ctx["x"], fused_ctx["x0"],
+                fused_ctx["mask"], fused_ctx["is_lig"], w_d2, w_d20,
+                _type_bias_table(fused_ctx["type_table"], w_types),
+                k2, b2, k_att, b_att,
+                cutoffs=fused_ctx["cutoffs"], attention=self.attention,
+                normalization_factor=self.normalization_factor,
+                impl="pallas", tile_i=fused_ctx["tile_i"],
+                tile_j=fused_ctx["tile_j"], interpret=self.interpret)
+        else:
+            mij = jax.nn.silu(_split_pair_dense(k1, b1, h, edge_feat, H))
+            mij = jax.nn.silu(mij @ k2 + b2)
+            out = mij
+            if self.attention:
+                out = mij * jax.nn.sigmoid(mij @ k_att + b_att)
+            out = out * adj[..., None]
+            if self.aggregation_method == "sum":
+                agg = jnp.sum(out, axis=2) / self.normalization_factor
+            elif self.aggregation_method == "mean":
+                denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
+                agg = jnp.sum(out, axis=2) / denom[..., None]
+            else:
+                raise ValueError(self.aggregation_method)
 
         # node MLP: Linear(H + F -> F), silu, Linear(F -> H), residual
         inp = jnp.concatenate([h, agg], axis=-1)
@@ -155,23 +220,36 @@ class _CoordMLP(nn.Module):
     """Linear(2H+E->F), silu, Linear(F->F), silu, Linear(F->1, no bias).
 
     The last layer is xavier-uniform with gain 1e-3 as in the reference
-    (egnn_new.py:78-79) so fresh models start with near-zero coordinate updates.
+    (egnn_new.py:78-79) so fresh models start with near-zero coordinate
+    updates.  ``weights()`` exposes the raw arrays for the fused kernels.
     """
 
     hidden_nf: int
     edges_in_d: int
+    node_nf: int
 
-    @nn.compact
+    def setup(self):
+        self.lin0_kernel = self.param(
+            "lin0_kernel", nn.initializers.lecun_normal(),
+            (2 * self.node_nf + self.edges_in_d, self.hidden_nf))
+        self.lin0_bias = self.param(
+            "lin0_bias", nn.initializers.zeros, (self.hidden_nf,))
+        self.lin1 = DenseParams(self.hidden_nf, self.hidden_nf, name="lin1")
+        self.lin2 = DenseParams(self.hidden_nf, 1, use_bias=False,
+                                name="lin2",
+                                kernel_init=_gain_xavier_uniform(1e-3))
+
+    def weights(self):
+        k1, b1 = self.lin1()
+        k2, _ = self.lin2()
+        return self.lin0_kernel, self.lin0_bias, k1, b1, k2
+
     def __call__(self, h, edge_feat):
-        H = h.shape[-1]
-        k1 = self.param("lin0_kernel", nn.initializers.lecun_normal(),
-                        (2 * H + self.edges_in_d, self.hidden_nf))
-        b1 = self.param("lin0_bias", nn.initializers.zeros, (self.hidden_nf,))
-        z = jax.nn.silu(_split_pair_dense(k1, b1, h, edge_feat, H))
-        z = jax.nn.silu(nn.Dense(self.hidden_nf, name="lin1")(z))
-        z = nn.Dense(1, use_bias=False, name="lin2",
-                     kernel_init=_gain_xavier_uniform(1e-3))(z)
-        return z  # (B, N, N, 1)
+        _, _, k1, b1, k2 = self.weights()
+        z = jax.nn.silu(_split_pair_dense(
+            self.lin0_kernel, self.lin0_bias, h, edge_feat, h.shape[-1]))
+        z = jax.nn.silu(z @ k1 + b1)
+        return z @ k2  # (B, N, N, 1)
 
 
 class DenseEquivariantUpdate(nn.Module):
@@ -179,41 +257,82 @@ class DenseEquivariantUpdate(nn.Module):
 
     hidden_nf: int
     edges_in_d: int
+    node_nf: int
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     tanh: bool = False
     coords_range: float = 10.0
     reflection_equiv: bool = True
+    impl: str = "xla"
+    interpret: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.coord_mlp = _CoordMLP(self.hidden_nf, self.edges_in_d,
+                                   self.node_nf, name="coord_mlp")
+        if not self.reflection_equiv:
+            self.cross_product_mlp = _CoordMLP(
+                self.hidden_nf, self.edges_in_d, self.node_nf,
+                name="cross_product_mlp")
+
     def __call__(self, h, coord, coord_diff, coord_cross, edge_feat, adj,
-                 node_mask, update_coords_mask=None):
-        phi = _CoordMLP(self.hidden_nf, self.edges_in_d, name="coord_mlp")(h, edge_feat)
+                 node_mask, update_coords_mask=None, fused_ctx=None):
+        if fused_ctx is not None and self.impl == "pallas":
+            agg = self._fused_agg(h, fused_ctx)
+        else:
+            agg = self._dense_agg(h, coord_diff, coord_cross, edge_feat, adj)
+
+        if update_coords_mask is not None:
+            agg = agg * update_coords_mask[..., None]
+        coord = coord + agg
+        return coord * node_mask[..., None]
+
+    def _dense_agg(self, h, coord_diff, coord_cross, edge_feat, adj):
+        phi = self.coord_mlp(h, edge_feat)
         if self.tanh:
             trans = coord_diff * jnp.tanh(phi) * self.coords_range
         else:
             trans = coord_diff * phi
 
         if not self.reflection_equiv:
-            phi_cross = _CoordMLP(self.hidden_nf, self.edges_in_d,
-                                  name="cross_product_mlp")(h, edge_feat)
+            phi_cross = self.cross_product_mlp(h, edge_feat)
             if self.tanh:
                 phi_cross = jnp.tanh(phi_cross) * self.coords_range
             trans = trans + coord_cross * phi_cross
 
         trans = trans * adj[..., None]
         if self.aggregation_method == "sum":
-            agg = jnp.sum(trans, axis=2) / self.normalization_factor
-        elif self.aggregation_method == "mean":
+            return jnp.sum(trans, axis=2) / self.normalization_factor
+        if self.aggregation_method == "mean":
             denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
-            agg = jnp.sum(trans, axis=2) / denom[..., None]
-        else:
-            raise ValueError(self.aggregation_method)
+            return jnp.sum(trans, axis=2) / denom[..., None]
+        raise ValueError(self.aggregation_method)
 
-        if update_coords_mask is not None:
-            agg = agg * update_coords_mask[..., None]
-        coord = coord + agg
-        return coord * node_mask[..., None]
+    def _fused_agg(self, h, ctx):
+        assert self.aggregation_method == "sum"
+        lk0, lb0, lk1, lb1, lk2 = self.coord_mlp.weights()
+        a_row, a_col, w_d2, w_d20, w_types = _split_first_layer(lk0, lb0, h)
+        tb = _type_bias_table(ctx["type_table"], w_types)
+        cross = None
+        graph_mean = None
+        if not self.reflection_equiv:
+            ck0, cb0, ck1, cb1, ck2 = self.cross_product_mlp.weights()
+            c_row, c_col, cw_d2, cw_d20, cw_types = _split_first_layer(
+                ck0, cb0, h)
+            cross = dict(
+                a_row=c_row, a_col=c_col, w_d2=cw_d2, w_d20=cw_d20,
+                type_bias=_type_bias_table(ctx["type_table"], cw_types),
+                w2=ck1, b2=cb1, w3=ck2)
+            graph_mean = masked_graph_mean(ctx["x"], ctx["mask"])
+        return fused.coord_update_agg(
+            a_row, a_col, ctx["x"], ctx["x0"], ctx["mask"], ctx["is_lig"],
+            w_d2, w_d20, tb, lk1, lb1, lk2,
+            cutoffs=ctx["cutoffs"], tanh=self.tanh,
+            coords_range=self.coords_range,
+            norm_constant=ctx["norm_constant"],
+            normalization_factor=self.normalization_factor,
+            cross=cross, graph_mean=graph_mean, impl="pallas",
+            tile_i=ctx["tile_i"], tile_j=ctx["tile_j"],
+            interpret=self.interpret)
 
 
 class EquivariantBlock(nn.Module):
@@ -234,34 +353,55 @@ class EquivariantBlock(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     reflection_equiv: bool = True
+    impl: str = "xla"
+    interpret: bool = False
 
     @nn.compact
-    def __call__(self, h, x, adj, node_mask, edge_attr, update_coords_mask=None):
-        radial, coord_diff = coord2diff(x, self.norm_constant)
-        coord_cross = None if self.reflection_equiv else coord2cross(
-            x, node_mask, self.norm_constant)
-        dist_feat = sinusoidal_distance_embedding(radial) if self.sin_embedding else radial
-        edge_feat = jnp.concatenate([dist_feat, edge_attr], axis=-1)
+    def __call__(self, h, x, adj, node_mask, edge_attr, update_coords_mask=None,
+                 fused_ctx=None):
+        use_fused = fused_ctx is not None and self.impl == "pallas"
+        if use_fused:
+            ctx = dict(fused_ctx)
+            ctx["norm_constant"] = self.norm_constant
+            edge_feat = None
+            coord_diff = coord_cross = None
+        else:
+            ctx = None
+            radial, coord_diff = coord2diff(x, self.norm_constant)
+            coord_cross = None if self.reflection_equiv else coord2cross(
+                x, node_mask, self.norm_constant)
+            dist_feat = sinusoidal_distance_embedding(radial) \
+                if self.sin_embedding else radial
+            edge_feat = jnp.concatenate([dist_feat, edge_attr], axis=-1)
 
         for i in range(self.n_layers):
+            if use_fused:
+                ctx["x"] = x  # current coordinates for this block's distances
             h = DenseGCL(self.hidden_nf, self.edge_feat_nf,
                          normalization_factor=self.normalization_factor,
                          aggregation_method=self.aggregation_method,
-                         attention=self.attention, name=f"gcl_{i}")(
-                h, edge_feat, adj, node_mask)
+                         attention=self.attention, impl=self.impl,
+                         interpret=self.interpret, name=f"gcl_{i}")(
+                h, edge_feat, adj, node_mask, fused_ctx=ctx)
         x = DenseEquivariantUpdate(
-            self.hidden_nf, self.edge_feat_nf,
+            self.hidden_nf, self.edge_feat_nf, node_nf=self.hidden_nf,
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method, tanh=self.tanh,
             coords_range=self.coords_range,
-            reflection_equiv=self.reflection_equiv, name="gcl_equiv")(
+            reflection_equiv=self.reflection_equiv, impl=self.impl,
+            interpret=self.interpret, name="gcl_equiv")(
             h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
-            update_coords_mask)
+            update_coords_mask, fused_ctx=ctx)
         return h * node_mask[..., None], x
 
 
 class EGNN(nn.Module):
-    """Full equivariant stack: embed -> n_layers blocks -> embed_out."""
+    """Full equivariant stack: embed -> n_layers blocks -> embed_out.
+
+    ``impl='pallas'`` routes the O(N^2) work through the fused kernels; the
+    caller provides ``fused_ctx`` with {mask, is_lig, type_table, cutoffs}
+    and guarantees N is a multiple of the kernel tiles.
+    """
 
     hidden_nf: int
     out_node_nf: int
@@ -276,18 +416,30 @@ class EGNN(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     reflection_equiv: bool = True
+    impl: str = "xla"
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr=None,
-                 update_coords_mask=None):
+                 update_coords_mask=None, fused_ctx=None):
         dist_dim = sin_embedding_dim() if self.sin_embedding else 1
         edge_feat_nf = 2 * dist_dim + self.in_edge_nf
         coords_range_layer = float(self.coords_range) / self.n_layers
 
-        radial, _ = coord2diff(x)
-        edge_feat0 = sinusoidal_distance_embedding(radial) if self.sin_embedding else radial
-        if edge_attr is not None:
-            edge_feat0 = jnp.concatenate([edge_feat0, edge_attr], axis=-1)
+        use_fused = fused_ctx is not None and self.impl == "pallas"
+        if use_fused:
+            assert not self.sin_embedding, \
+                "sin_embedding requires the XLA implementation"
+            ctx = dict(fused_ctx)
+            ctx["x0"] = x  # initial coordinates feed the global edge feature
+            edge_feat0 = None
+        else:
+            ctx = None
+            radial, _ = coord2diff(x)
+            edge_feat0 = sinusoidal_distance_embedding(radial) \
+                if self.sin_embedding else radial
+            if edge_attr is not None:
+                edge_feat0 = jnp.concatenate([edge_feat0, edge_attr], axis=-1)
 
         h = nn.Dense(self.hidden_nf, name="embedding")(h)
         for i in range(self.n_layers):
@@ -299,9 +451,11 @@ class EGNN(nn.Module):
                 sin_embedding=self.sin_embedding,
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
-                reflection_equiv=self.reflection_equiv,
+                reflection_equiv=self.reflection_equiv, impl=self.impl,
+                interpret=self.interpret,
                 name=f"e_block_{i}")(
-                h, x, adj, node_mask, edge_feat0, update_coords_mask)
+                h, x, adj, node_mask, edge_feat0, update_coords_mask,
+                fused_ctx=ctx)
 
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None], x

@@ -105,7 +105,7 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
 # message aggregation kernel
 # ---------------------------------------------------------------------------
 
-def _make_gcl_kernel(n_tiles_j, cutoffs, attention, has_type_bias,
+def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                      normalization_factor):
     def kernel(a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
                wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
@@ -120,7 +120,7 @@ def _make_gcl_kernel(n_tiles_j, cutoffs, attention, has_type_bias,
         type_bias = tbias_ref[:] if has_type_bias else None
 
         def body(j, acc):
-            tj = TILE_J
+            tj = tile_j
             a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
             x_j = x_ref[0, pl.ds(j * tj, tj), :]
             x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
@@ -151,7 +151,7 @@ def _make_gcl_kernel(n_tiles_j, cutoffs, attention, has_type_bias,
 def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
-        interpret=False):
+        tile_i=TILE_I, tile_j=TILE_J, interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
     a_row/a_col: per-node projections of h through the split first-layer
@@ -160,7 +160,7 @@ def gcl_message_agg_pallas(
     edge-type table.
     """
     B, N, F = a_row.shape
-    assert N % TILE_J == 0 and N % TILE_I == 0, N
+    assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
     has_type_bias = type_bias is not None
     if type_bias is None:
         type_bias = jnp.zeros((2, 2, F), a_row.dtype)
@@ -169,8 +169,8 @@ def gcl_message_agg_pallas(
         b_att = jnp.zeros((1,), a_row.dtype)
 
     kernel = _make_gcl_kernel(
-        n_tiles_j=N // TILE_J, cutoffs=cutoffs, attention=attention,
-        has_type_bias=has_type_bias,
+        n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
+        attention=attention, has_type_bias=has_type_bias,
         normalization_factor=normalization_factor)
 
     full = lambda b, i: (b, 0, 0)
@@ -179,9 +179,9 @@ def gcl_message_agg_pallas(
 
     return pl.pallas_call(
         kernel,
-        grid=(B, N // TILE_I),
+        grid=(B, N // tile_i),
         in_specs=[
-            pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
@@ -193,7 +193,7 @@ def gcl_message_agg_pallas(
             const2((1, F)), const2((1, F)), const2((2, 2, F)),
             const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
         ],
-        out_specs=pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=interpret,
@@ -206,8 +206,9 @@ def gcl_message_agg_pallas(
 # coordinate update kernel
 # ---------------------------------------------------------------------------
 
-def _make_coord_kernel(n_tiles_j, cutoffs, has_type_bias, tanh, coords_range,
-                       reflection_equiv, norm_constant, normalization_factor):
+def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
+                       coords_range, reflection_equiv, norm_constant,
+                       normalization_factor):
     def kernel(*refs):
         if reflection_equiv:
             (a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
@@ -234,7 +235,7 @@ def _make_coord_kernel(n_tiles_j, cutoffs, has_type_bias, tanh, coords_range,
             ctype_bias = ctbias_ref[:] if has_type_bias else None
 
         def body(j, acc):
-            tj = TILE_J
+            tj = tile_j
             a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
             x_j = x_ref[0, pl.ds(j * tj, tj), :]
             x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
@@ -292,7 +293,8 @@ def coord_update_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig,
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
-        cross=None, graph_mean=None, interpret=False):
+        cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
+        interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
     ``cross``: optional dict with the cross-product MLP pieces
@@ -300,20 +302,21 @@ def coord_update_agg_pallas(
     reflection-symmetry-breaking SE(3) term; requires ``graph_mean`` (B, 3).
     """
     B, N, F = a_row.shape
-    assert N % TILE_J == 0 and N % TILE_I == 0, N
+    assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
     reflection_equiv = cross is None
     has_type_bias = type_bias is not None
     if type_bias is None:
         type_bias = jnp.zeros((2, 2, F), a_row.dtype)
 
     kernel = _make_coord_kernel(
-        n_tiles_j=N // TILE_J, cutoffs=cutoffs, has_type_bias=has_type_bias,
+        n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
+        has_type_bias=has_type_bias,
         tanh=tanh, coords_range=coords_range,
         reflection_equiv=reflection_equiv, norm_constant=norm_constant,
         normalization_factor=normalization_factor)
 
     full = lambda b, i: (b, 0, 0)
-    row_spec = pl.BlockSpec((1, TILE_I, F), lambda b, i: (b, i, 0),
+    row_spec = pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM)
@@ -349,9 +352,9 @@ def coord_update_agg_pallas(
 
     return pl.pallas_call(
         kernel,
-        grid=(B, N // TILE_I),
+        grid=(B, N // tile_i),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, TILE_I, 3), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, tile_i, 3), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
         interpret=interpret,
@@ -450,10 +453,11 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
-    cutoffs, attention, nf, interpret = cfg
+    cutoffs, attention, nf, tile_i, tile_j, interpret = cfg
     return gcl_message_agg_pallas(
         *operands, cutoffs=cutoffs, attention=attention,
-        normalization_factor=nf, interpret=interpret)
+        normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret)
 
 
 def _gcl_agg_fwd(cfg, operands):
@@ -461,7 +465,7 @@ def _gcl_agg_fwd(cfg, operands):
 
 
 def _gcl_agg_bwd(cfg, operands, g):
-    cutoffs, attention, nf, _ = cfg
+    cutoffs, attention, nf, _, _, _ = cfg
 
     def f(ops):
         return gcl_message_agg_xla(
@@ -477,14 +481,16 @@ _gcl_agg_cvjp.defvjp(_gcl_agg_fwd, _gcl_agg_bwd)
 
 def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
-                    normalization_factor, impl="pallas", interpret=False):
+                    normalization_factor, impl="pallas", tile_i=TILE_I,
+                    tile_j=TILE_J, interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way."""
     if impl == "xla":
         return gcl_message_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
             b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
             normalization_factor=normalization_factor)
-    cfg = (tuple(cutoffs), attention, float(normalization_factor), interpret)
+    cfg = (tuple(cutoffs), attention, float(normalization_factor),
+           tile_i, tile_j, interpret)
     operands = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
                 w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, operands)
@@ -492,12 +498,14 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
-    cutoffs, tanh, coords_range, norm_constant, nf, interpret = cfg
+    cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, \
+        interpret = cfg
     main, cross, graph_mean = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
-        cross=cross, graph_mean=graph_mean, interpret=interpret)
+        cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret)
 
 
 def _coord_agg_fwd(cfg, operands):
@@ -505,7 +513,7 @@ def _coord_agg_fwd(cfg, operands):
 
 
 def _coord_agg_bwd(cfg, operands, g):
-    cutoffs, tanh, coords_range, norm_constant, nf, _ = cfg
+    cutoffs, tanh, coords_range, norm_constant, nf = cfg[:5]
 
     def f(ops):
         main, cross, graph_mean = ops
@@ -524,7 +532,8 @@ _coord_agg_cvjp.defvjp(_coord_agg_fwd, _coord_agg_bwd)
 def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      type_bias, w2, b2, w3, *, cutoffs, tanh, coords_range,
                      norm_constant, normalization_factor, cross=None,
-                     graph_mean=None, impl="pallas", interpret=False):
+                     graph_mean=None, impl="pallas", tile_i=TILE_I,
+                     tile_j=TILE_J, interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable."""
     if impl == "xla":
         return coord_update_agg_xla(
@@ -534,7 +543,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             normalization_factor=normalization_factor, cross=cross,
             graph_mean=graph_mean)
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
-           float(normalization_factor), interpret)
+           float(normalization_factor), tile_i, tile_j, interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean))

@@ -51,6 +51,7 @@ class LigandPocketDDPM:
         n_pocket_max: int = 512,
         lig_bucket: int = 8,
         pocket_bucket: int = 64,
+        egnn_impl: str = "auto",
     ):
         assert mode in DDPM_MODELS
         assert pocket_representation in {"CA", "full-atom"}
@@ -110,6 +111,7 @@ class LigandPocketDDPM:
             update_pocket_coords=(mode == "joint"),
             reflection_equivariant=egnn_params.reflection_equivariant,
             edge_embedding_dim=egnn_params.get("edge_embedding_dim"),
+            impl=egnn_impl,
         )
 
         self.ddpm = DDPM_MODELS[mode](
@@ -419,4 +421,5 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         n_pocket_max=cfg.tpu.n_pocket_max,
         lig_bucket=cfg.tpu.lig_bucket,
         pocket_bucket=cfg.tpu.pocket_bucket,
+        egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
     )

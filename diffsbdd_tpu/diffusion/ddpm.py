@@ -494,6 +494,48 @@ class JointDDPM(DDPMBase):
         return (jnp.concatenate([x_lig, h_lig], -1),
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("timesteps", "return_frames"))
+    def sample_chain(self, params, rng, masks, timesteps: Optional[int] = None,
+                     return_frames: int = 1):
+        """Like ``sample`` but also returns ``return_frames`` intermediate
+        states (unnormalized) for trajectory visualization
+        (en_diffusion.py:606-626 frame saving)."""
+        timesteps = self.T if timesteps is None else timesteps
+        assert 0 < return_frames <= timesteps
+        assert timesteps % return_frames == 0
+        lig_mask, pkt_mask = masks
+        B = lig_mask.shape[0]
+
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        z_lig, z_pkt = self.sample_combined_noise(
+            k_init, {"mask": lig_mask}, {"mask": pkt_mask})
+
+        stride = timesteps // return_frames
+
+        def step(carry, s):
+            z_lig, z_pkt = carry
+            key = jax.random.fold_in(k_scan, s)
+            s_arr = jnp.full((B, 1), s, jnp.float32) / timesteps
+            t_arr = jnp.full((B, 1), s + 1, jnp.float32) / timesteps
+            z_lig, z_pkt = self._denoise_step(
+                params, key, z_lig, z_pkt, lig_mask, pkt_mask, s_arr, t_arr)
+            return (z_lig, z_pkt), (self.unnormalize_z(z_lig),
+                                    self.unnormalize_z(z_pkt))
+
+        (z_lig, z_pkt), (frames_lig, frames_pkt) = jax.lax.scan(
+            step, (z_lig, z_pkt), jnp.arange(timesteps - 1, -1, -1))
+
+        x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
+            params, k_final, z_lig, z_pkt, lig_mask, pkt_mask)
+        x_lig, x_pkt = self.remove_mean(x_lig, x_pkt, lig_mask, pkt_mask)
+        final_lig = jnp.concatenate([x_lig * lig_mask[..., None], h_lig], -1)
+        final_pkt = jnp.concatenate([x_pkt * pkt_mask[..., None], h_pkt], -1)
+
+        frames_lig = frames_lig[stride - 1::stride].at[-1].set(final_lig)
+        frames_pkt = frames_pkt[stride - 1::stride].at[-1].set(final_pkt)
+        return frames_lig, frames_pkt
+
     @staticmethod
     def get_repaint_schedule(resamplings: int, jump_length: int, timesteps: int):
         """Segment lengths for the RePaint jump schedule (en_diffusion.py:653-674)."""
@@ -856,6 +898,45 @@ class ConditionalDDPM(DDPMBase):
         x_lig = x_lig * lig_mask[..., None]
         return (jnp.concatenate([x_lig, h_lig], -1),
                 jnp.concatenate([x_pkt, h_pkt], -1))
+
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("timesteps", "return_frames"))
+    def sample_given_pocket_chain(self, params, rng, pocket: Batch, lig_mask,
+                                  timesteps: Optional[int] = None,
+                                  return_frames: int = 1):
+        """``sample_given_pocket`` with intermediate frames
+        (conditional_model.py:512-532 frame saving)."""
+        timesteps = self.T if timesteps is None else timesteps
+        assert 0 < return_frames <= timesteps
+        assert timesteps % return_frames == 0
+        _, pocket = self.normalize(pocket=pocket)
+        B = lig_mask.shape[0]
+        m_p = pocket["mask"]
+
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        z_lig, xh_pkt = self._prior_sample(k_init, pocket, lig_mask)
+        stride = timesteps // return_frames
+
+        def step(carry, s):
+            z_lig, xh_pkt = carry
+            key = jax.random.fold_in(k_scan, s)
+            s_arr = jnp.full((B, 1), s, jnp.float32) / timesteps
+            t_arr = jnp.full((B, 1), s + 1, jnp.float32) / timesteps
+            z_lig, xh_pkt = self._denoise_step(
+                params, key, z_lig, xh_pkt, lig_mask, m_p, s_arr, t_arr)
+            return (z_lig, xh_pkt), (self.unnormalize_z(z_lig),
+                                     self.unnormalize_z(xh_pkt))
+
+        (z_lig, xh_pkt), (frames_lig, frames_pkt) = jax.lax.scan(
+            step, (z_lig, xh_pkt), jnp.arange(timesteps - 1, -1, -1))
+
+        x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
+            params, k_final, z_lig, xh_pkt, lig_mask, m_p)
+        final_lig = jnp.concatenate([x_lig, h_lig], -1)
+        final_pkt = jnp.concatenate([x_pkt, h_pkt], -1)
+        frames_lig = frames_lig[stride - 1::stride].at[-1].set(final_lig)
+        frames_pkt = frames_pkt[stride - 1::stride].at[-1].set(final_pkt)
+        return frames_lig, frames_pkt
 
     @partial(jax.jit, static_argnums=(0,), static_argnames=("noising_steps",))
     def diversify(self, params, rng, ligand: Batch, pocket: Batch,

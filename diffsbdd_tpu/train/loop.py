@@ -185,12 +185,14 @@ class Trainer:
     optional wandb logging — the pl.Trainer-shaped shell around the jitted
     steps."""
 
-    def __init__(self, module, cfg, train_loader, val_loader, logger=None):
+    def __init__(self, module, cfg, train_loader, val_loader, logger=None,
+                 evaluator=None):
         self.module = module
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.logger = logger
+        self.evaluator = evaluator  # SamplingEvaluator for periodic eval
         import jax as _jax
         n_dev = cfg.tpu.mesh_data if cfg.tpu.mesh_data > 0 \
             else len(_jax.devices())
@@ -237,6 +239,27 @@ class Trainer:
                 if val_loss < self.best_val:
                     self.best_val = val_loss
                     save_checkpoint(self.ckpt_dir, state, cfg_dict, name="best")
+
+            # periodic sampling-quality eval + visualization
+            # (lightning_modules.py:382-410)
+            if self.evaluator is not None:
+                ep = self.cfg.eval_params
+                if (epoch + 1) % self.cfg.eval_epochs == 0:
+                    rng, k = jax.random.split(rng)
+                    tic = time.time()
+                    metrics = self.evaluator.sample_and_analyze(
+                        state.params, k, ep.n_eval_samples,
+                        batch_size=ep.get("eval_batch_size"))
+                    self.log(metrics, "val", int(state.step))
+                    print(f"Evaluation took {time.time() - tic:.2f} seconds")
+                if (epoch + 1) % self.cfg.visualize_sample_epoch == 0:
+                    rng, k = jax.random.split(rng)
+                    self.evaluator.sample_and_save(
+                        state.params, k, ep.n_visualize_samples, epoch=epoch)
+                if (epoch + 1) % self.cfg.visualize_chain_epoch == 0:
+                    rng, k = jax.random.split(rng)
+                    self.evaluator.sample_chain_and_save(
+                        state.params, k, ep.keep_frames, epoch=epoch)
             print(f"epoch {epoch}: {time.time() - t0:.1f}s "
                   f"loss={float(info['loss']):.4f}")
         return state, rng

@@ -104,9 +104,10 @@ class EGNNDynamics(nn.Module):
     def _resolve_impl(self) -> str:
         if self.impl != "auto":
             return self.impl
-        if self.sin_embedding or self.mode != "egnn_dynamics":
-            return "xla"
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        # NOTE: 'auto' currently resolves to the dense-XLA path everywhere;
+        # the fused Pallas kernels are opt-in (impl='pallas') until their
+        # Mosaic compile is validated on real TPU hardware.
+        return "xla"
 
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):

@@ -900,6 +900,57 @@ class ConditionalDDPM(DDPMBase):
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
     @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("n_steps", "timesteps"))
+    def _denoise_segment(self, params, rng, z_lig, xh_pkt, lig_mask, pkt_mask,
+                         s_start, n_steps: int, timesteps: int):
+        """n_steps consecutive reverse steps starting at s = s_start
+        (descending).  Used by the segmented sampler."""
+        B = lig_mask.shape[0]
+
+        def step(carry, k):
+            z_lig, xh_pkt = carry
+            sv = s_start - k
+            key = jax.random.fold_in(rng, sv)
+            s_arr = jnp.full((B, 1), sv, jnp.float32) / timesteps
+            t_arr = (jnp.full((B, 1), sv, jnp.float32) + 1) / timesteps
+            z_lig, xh_pkt = self._denoise_step(
+                params, key, z_lig, xh_pkt, lig_mask, pkt_mask, s_arr, t_arr)
+            return (z_lig, xh_pkt), None
+
+        (z_lig, xh_pkt), _ = jax.lax.scan(
+            step, (z_lig, xh_pkt), jnp.arange(n_steps))
+        return z_lig, xh_pkt
+
+    def sample_given_pocket_segmented(self, params, rng, pocket: Batch,
+                                      lig_mask, timesteps: Optional[int] = None,
+                                      segment: int = 100):
+        """Same chain as ``sample_given_pocket`` but dispatched in
+        ``segment``-step jitted chunks.  Numerically identical trajectory
+        structure (per-step keys are folded from the scan key), with host
+        round-trips only every ``segment`` steps — useful where a single
+        device dispatch must stay short (execution watchdogs)."""
+        timesteps = self.T if timesteps is None else timesteps
+        _, pocket = self.normalize(pocket=pocket)
+        m_p = pocket["mask"]
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        z_lig, xh_pkt = self._prior_sample(k_init, pocket, lig_mask)
+
+        s = timesteps - 1
+        while s >= 0:
+            n = min(segment, s + 1)
+            z_lig, xh_pkt = self._denoise_segment(
+                params, k_scan, z_lig, xh_pkt, lig_mask, m_p,
+                jnp.asarray(s, jnp.float32), n_steps=n, timesteps=timesteps)
+            s -= n
+
+        x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
+            params, k_final, z_lig, xh_pkt, lig_mask, m_p)
+        x_lig, x_pkt = self.remove_mean(x_lig, x_pkt, lig_mask, m_p)
+        x_lig = x_lig * lig_mask[..., None]
+        return (jnp.concatenate([x_lig, h_lig], -1),
+                jnp.concatenate([x_pkt, h_pkt], -1))
+
+    @partial(jax.jit, static_argnums=(0,),
              static_argnames=("timesteps", "return_frames"))
     def sample_given_pocket_chain(self, params, rng, pocket: Batch, lig_mask,
                                   timesteps: Optional[int] = None,

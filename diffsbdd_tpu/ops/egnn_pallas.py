@@ -40,23 +40,26 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _pair_distance2(x_i, x_j):
-    """Squared distances between row/col coordinate tiles, axis-by-axis so
-    every intermediate is a clean (T_i, T_j) VPU tile."""
+def _pair_distance2(x_i, x_j_t):
+    """Squared distances between a row tile (ti, 3) and a *transposed* column
+    tile (3, tj), axis-by-axis so every intermediate is a clean (ti, tj) VPU
+    tile built from (ti,1)x(1,tj) broadcasts (no in-kernel transposes)."""
     d2 = None
     for a in range(3):
-        diff = x_i[:, a][:, None] - x_j[:, a][None, :]
+        diff = x_i[:, a:a + 1] - x_j_t[a:a + 1, :]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     return d2
 
 
 def _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs):
     """Masked adjacency for one tile with per-pair-type distance cutoffs
-    (dynamics.py:169-187 semantics; self-edges kept)."""
+    (dynamics.py:169-187 semantics; self-edges kept).
+
+    mask_i/lig_i are (ti, 1); mask_j/lig_j are (1, tj)."""
     cutoff_l, cutoff_p, cutoff_i = cutoffs
-    valid = mask_i[:, None] * mask_j[None, :]
-    ll = lig_i[:, None] * lig_j[None, :]
-    pp = (1.0 - lig_i)[:, None] * (1.0 - lig_j)[None, :]
+    valid = mask_i * mask_j
+    ll = lig_i * lig_j
+    pp = (1.0 - lig_i) * (1.0 - lig_j)
     cross = 1.0 - ll - pp
 
     ok = jnp.zeros_like(valid)
@@ -78,8 +81,8 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
     out = d2[:, :, None] * w_d2[None, None, :] \
         + d2_0[:, :, None] * w_d20[None, None, :]
     if type_bias is not None:
-        li = lig_i[:, None, None]
-        lj = lig_j[None, :, None]
+        li = lig_i[:, :, None]   # (ti, 1, 1)
+        lj = lig_j[:, :, None]   # (1, tj, 1)
         out = out + (1 - li) * (1 - lj) * type_bias[0, 0][None, None, :] \
             + (1 - li) * lj * type_bias[0, 1][None, None, :] \
             + li * (1 - lj) * type_bias[1, 0][None, None, :] \
@@ -107,28 +110,29 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
 
 def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                      normalization_factor):
-    def kernel(a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
+    def kernel(a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
+               mask_ref, maskt_ref, lig_ref, ligt_ref,
                wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
                batt_ref, out_ref):
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
-        x_i = x_ref[0, pl.ds(i * ti, ti), :]
-        x0_i = x0_ref[0, pl.ds(i * ti, ti), :]
-        mask_i = mask_ref[0, pl.ds(i * ti, ti)]
-        lig_i = lig_ref[0, pl.ds(i * ti, ti)]
+        x_i = x_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        x0_i = x0_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         type_bias = tbias_ref[:] if has_type_bias else None
 
         def body(j, acc):
             tj = tile_j
-            a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
-            x_j = x_ref[0, pl.ds(j * tj, tj), :]
-            x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
-            mask_j = mask_ref[0, pl.ds(j * tj, tj)]
-            lig_j = lig_ref[0, pl.ds(j * tj, tj)]
+            a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+            x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            x0_j_t = x0t_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            mask_j = maskt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
 
-            d2 = _pair_distance2(x_i, x_j)
-            d2_0 = _pair_distance2(x0_i, x0_j)
+            d2 = _pair_distance2(x_i, x_j_t)
+            d2_0 = _pair_distance2(x0_i, x0_j_t)
             m = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
                           wd2_ref[0], wd20_ref[0], type_bias,
                           w2_ref[:], b2_ref[0], None)
@@ -177,6 +181,13 @@ def gcl_message_agg_pallas(
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
+    x_t = jnp.swapaxes(x, 1, 2)      # (B, 3, N): lane-major column layout
+    x0_t = jnp.swapaxes(x0, 1, 2)
+    mask_row = mask[..., None]       # (B, N, 1): sublane-major row layout
+    mask_col = mask[:, None, :]      # (B, 1, N)
+    lig_row = is_lig[..., None]
+    lig_col = is_lig[:, None, :]
+
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_i),
@@ -185,11 +196,13 @@ def gcl_message_agg_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
             const2((1, F)), const2((1, F)), const2((2, 2, F)),
             const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
         ],
@@ -197,7 +210,7 @@ def gcl_message_agg_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=interpret,
-    )(a_row, a_col, x, x0, mask, is_lig,
+    )(a_row, a_col, x, x_t, x0, x0_t, mask_row, mask_col, lig_row, lig_col,
       w_d2.reshape(1, F), w_d20.reshape(1, F), type_bias,
       w2, b2.reshape(1, F), w_att, b_att.reshape(1, 1))
 
@@ -211,12 +224,14 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                        normalization_factor):
     def kernel(*refs):
         if reflection_equiv:
-            (a_row_ref, a_col_ref, x_ref, x0_ref, mask_ref, lig_ref,
+            (a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
+             mask_ref, maskt_ref, lig_ref, ligt_ref,
              wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
              out_ref) = refs
         else:
-            (a_row_ref, a_col_ref, c_row_ref, c_col_ref, x_ref, x0_ref,
-             mean_ref, mask_ref, lig_ref,
+            (a_row_ref, a_col_ref, c_row_ref, c_col_ref, x_ref, xt_ref,
+             x0_ref, x0t_ref, mean_ref, mask_ref, maskt_ref, lig_ref,
+             ligt_ref,
              wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
              cwd2_ref, cwd20_ref, ctbias_ref, cw2_ref, cb2_ref, cw3_ref,
              out_ref) = refs
@@ -224,26 +239,26 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
-        x_i = x_ref[0, pl.ds(i * ti, ti), :]
-        x0_i = x0_ref[0, pl.ds(i * ti, ti), :]
-        mask_i = mask_ref[0, pl.ds(i * ti, ti)]
-        lig_i = lig_ref[0, pl.ds(i * ti, ti)]
+        x_i = x_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        x0_i = x0_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         type_bias = tbias_ref[:] if has_type_bias else None
         if not reflection_equiv:
             c_i = c_row_ref[0]
-            mean = mean_ref[0]
+            mean = mean_ref[0]  # (1, 3)
             ctype_bias = ctbias_ref[:] if has_type_bias else None
 
         def body(j, acc):
             tj = tile_j
-            a_j = a_col_ref[0, pl.ds(j * tj, tj), :]
-            x_j = x_ref[0, pl.ds(j * tj, tj), :]
-            x0_j = x0_ref[0, pl.ds(j * tj, tj), :]
-            mask_j = mask_ref[0, pl.ds(j * tj, tj)]
-            lig_j = lig_ref[0, pl.ds(j * tj, tj)]
+            a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+            x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            x0_j_t = x0t_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            mask_j = maskt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
 
-            d2 = _pair_distance2(x_i, x_j)
-            d2_0 = _pair_distance2(x0_i, x0_j)
+            d2 = _pair_distance2(x_i, x_j_t)
+            d2_0 = _pair_distance2(x0_i, x0_j_t)
             adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
 
             phi = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
@@ -255,32 +270,30 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
             w = phi / norm * adj
 
             if not reflection_equiv:
-                c_j = c_col_ref[0, pl.ds(j * tj, tj), :]
+                c_j = c_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
                 phi_c = _pair_mlp(c_i, c_j, d2, d2_0, lig_i, lig_j,
                                   cwd2_ref[0], cwd20_ref[0], ctype_bias,
                                   cw2_ref[:], cb2_ref[0], cw3_ref[:])
                 if tanh:
                     phi_c = jnp.tanh(phi_c) * coords_range
-                xi = [x_i[:, a] - mean[a] for a in range(3)]
-                xj = [x_j[:, a] - mean[a] for a in range(3)]
-                cx = xi[1][:, None] * xj[2][None, :] \
-                    - xi[2][:, None] * xj[1][None, :]
-                cy = xi[2][:, None] * xj[0][None, :] \
-                    - xi[0][:, None] * xj[2][None, :]
-                cz = xi[0][:, None] * xj[1][None, :] \
-                    - xi[1][:, None] * xj[0][None, :]
+                # centered coordinates: rows (ti, 1), cols (1, tj)
+                xi = [x_i[:, a:a + 1] - mean[:, a:a + 1] for a in range(3)]
+                xj = [x_j_t[a:a + 1, :] - mean[:, a:a + 1] for a in range(3)]
+                cx = xi[1] * xj[2] - xi[2] * xj[1]
+                cy = xi[2] * xj[0] - xi[0] * xj[2]
+                cz = xi[0] * xj[1] - xi[1] * xj[0]
                 cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz) + norm_constant
                 wc = phi_c / cnorm * adj
                 cross = (cx, cy, cz)
 
             cols = []
             for a in range(3):
-                diff_a = x_i[:, a][:, None] - x_j[:, a][None, :]
-                t_a = jnp.sum(w * diff_a, axis=1)
+                diff_a = x_i[:, a:a + 1] - x_j_t[a:a + 1, :]
+                t_a = jnp.sum(w * diff_a, axis=1, keepdims=True)
                 if not reflection_equiv:
-                    t_a = t_a + jnp.sum(wc * cross[a], axis=1)
+                    t_a = t_a + jnp.sum(wc * cross[a], axis=1, keepdims=True)
                 cols.append(t_a)
-            return acc + jnp.stack(cols, axis=1)
+            return acc + jnp.concatenate(cols, axis=1)
 
         acc = jnp.zeros((ti, 3), jnp.float32)
         acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
@@ -320,26 +333,32 @@ def coord_update_agg_pallas(
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM)
-    n_spec = pl.BlockSpec((1, N), lambda b, i: (b, 0),
-                          memory_space=pltpu.VMEM)
+    xt_spec = pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM)
+    nrow_spec = pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM)
+    ncol_spec = pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    x_t = jnp.swapaxes(x, 1, 2)
+    x0_t = jnp.swapaxes(x0, 1, 2)
 
     in_specs = [row_spec, col_spec]
     args = [a_row, a_col]
     if not reflection_equiv:
         in_specs += [row_spec, col_spec]
         args += [cross["a_row"], cross["a_col"]]
-    in_specs += [x_spec, x_spec]
-    args += [x, x0]
+    in_specs += [x_spec, xt_spec, x_spec, xt_spec]
+    args += [x, x_t, x0, x0_t]
     if not reflection_equiv:
-        in_specs += [pl.BlockSpec((1, 3), lambda b, i: (b, 0),
+        in_specs += [pl.BlockSpec((1, 1, 3), lambda b, i: (b, 0, 0),
                                   memory_space=pltpu.VMEM)]
-        args += [graph_mean]
-    in_specs += [n_spec, n_spec,
+        args += [graph_mean.reshape(B, 1, 3)]
+    in_specs += [nrow_spec, ncol_spec, nrow_spec, ncol_spec,
                  const2((1, F)), const2((1, F)), const2((2, 2, F)),
                  const2((F, F)), const2((1, F)), const2((F, 1))]
-    args += [mask, is_lig, w_d2.reshape(1, F), w_d20.reshape(1, F),
+    args += [mask[..., None], mask[:, None, :],
+             is_lig[..., None], is_lig[:, None, :],
+             w_d2.reshape(1, F), w_d20.reshape(1, F),
              type_bias, w2, b2.reshape(1, F), w3]
     if not reflection_equiv:
         ctb = cross["type_bias"]

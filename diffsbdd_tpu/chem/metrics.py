@@ -44,7 +44,10 @@ class CategoricalDistribution:
         for x in other_sample:
             sample_histogram[int(x)] += 1
         q = sample_histogram / max(sample_histogram.sum(), 1)
-        return float(-np.sum(self.p * np.log(q / self.p + self.EPS)))
+        # zero-probability classes contribute nothing (p log p/q -> 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = -self.p * np.log(q / self.p + self.EPS)
+        return float(np.sum(np.where(self.p > 0, terms, 0.0)))
 
 
 def wl_fingerprint(mol: SimpleMol, radius: int = 2) -> set:

@@ -205,11 +205,21 @@ def get_bond_order_batch(atoms1, atoms2, distances, dataset_info) -> np.ndarray:
 
 def perceive_bonds_edm(positions: np.ndarray, atom_types: np.ndarray,
                        dataset_info) -> List[Tuple[int, int, int]]:
-    """Lower-triangle directed bond list from pairwise distances."""
+    """Lower-triangle directed bond list from pairwise distances.
+
+    Uses the native C++ kernel (diffsbdd_tpu.native) when the library is
+    built; the numpy path below is the always-available fallback.
+    """
     pos = np.asarray(positions, dtype=np.float64)
     n = len(pos)
     if n == 0:
         return []
+
+    from diffsbdd_tpu import native
+    if native.available():
+        out = native.perceive_bonds(positions, atom_types, dataset_info)
+        if out is not None:
+            return out
     d = np.sqrt(((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1))
     a1 = np.broadcast_to(np.asarray(atom_types)[:, None], (n, n))
     a2 = np.broadcast_to(np.asarray(atom_types)[None, :], (n, n))

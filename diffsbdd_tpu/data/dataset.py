@@ -133,6 +133,18 @@ class LigandPocketDataset:
                 self.data["lig_coords"][i] = (lc - mean).astype(np.float32)
                 self.data["pocket_coords"][i] = (pc - mean).astype(np.float32)
 
+        # flat views + offsets feeding the native gather-collate fast path
+        def _flat(key):
+            arrs = self.data[key]
+            offsets = np.concatenate(
+                [[0], np.cumsum([len(a) for a in arrs])]).astype(np.int64)
+            return np.concatenate(arrs).astype(np.float32), offsets
+
+        self._flat_lig_x, self._lig_offsets = _flat("lig_coords")
+        self._flat_lig_oh, _ = _flat("lig_one_hot")
+        self._flat_pkt_x, self._pkt_offsets = _flat("pocket_coords")
+        self._flat_pkt_oh, _ = _flat("pocket_one_hot")
+
     def __len__(self):
         return len(self.data["names"])
 
@@ -180,10 +192,31 @@ class PaddedLoader:
             return n // self.batch_size
         return math.ceil(n / self.batch_size)
 
+    def _native_batch(self, idx: np.ndarray, n_lig: int, n_pocket: int):
+        """Zero-copy-ish batch assembly via the C++ gather-collate."""
+        from diffsbdd_tpu import native
+
+        ds = self.dataset
+        lig = native.pad_collate_gather(
+            ds._flat_lig_x, ds._flat_lig_oh, ds._lig_offsets, idx, n_lig)
+        pkt = native.pad_collate_gather(
+            ds._flat_pkt_x, ds._flat_pkt_oh, ds._pkt_offsets, idx, n_pocket)
+        if lig is None or pkt is None:
+            return None
+        names = [ds.data["names"][int(i)] for i in idx]
+        receptors = [ds.data.get("receptors", [""] * len(ds))[int(i)]
+                     for i in idx] if "receptors" in ds.data else [""] * len(idx)
+        def mk(t):
+            return {"x": t[0], "one_hot": t[1], "mask": t[2],
+                    "size": t[3].astype(np.int32)}
+        return {"ligand": mk(lig), "pocket": mk(pkt), "names": names,
+                "receptors": receptors}
+
     def __iter__(self) -> Iterator[Dict[str, dict]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        use_native = self.dataset.transform is None
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size:
@@ -192,15 +225,22 @@ class PaddedLoader:
                 # repeat items so every batch has a static batch dimension
                 idx = np.concatenate(
                     [idx, order[:self.batch_size - len(idx)]])
-            items = [self.dataset[int(i)] for i in idx]
             if self.fixed_shape:
                 n_lig, n_pocket = self.n_lig_max, self.n_pocket_max
             else:
                 n_lig = round_to_bucket(
-                    max(len(it["lig_coords"]) for it in items), self.lig_bucket)
+                    max(len(self.dataset.data["lig_coords"][int(i)])
+                        for i in idx), self.lig_bucket)
                 n_pocket = round_to_bucket(
-                    max(len(it["pocket_coords"]) for it in items),
-                    self.pocket_bucket)
+                    max(len(self.dataset.data["pocket_coords"][int(i)])
+                        for i in idx), self.pocket_bucket)
+            if use_native:
+                batch = self._native_batch(idx.astype(np.int64), n_lig,
+                                           n_pocket)
+                if batch is not None:
+                    yield batch
+                    continue
+            items = [self.dataset[int(i)] for i in idx]
             yield pad_batch(items, n_lig, n_pocket)
 
 

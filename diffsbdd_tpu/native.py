@@ -30,6 +30,10 @@ def _load():
         lib.pad_collate.argtypes = [
             f32p, f32p, i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, f32p, f32p, f32p, i32p]
+        lib.pad_collate_gather.restype = ctypes.c_int
+        lib.pad_collate_gather.argtypes = [
+            f32p, f32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, f32p, f32p, f32p, i32p]
         lib.perceive_bonds.restype = ctypes.c_int
         lib.perceive_bonds.argtypes = [
             f32p, i32p, ctypes.c_int64, f64p, f64p, f64p, ctypes.c_int64,
@@ -65,6 +69,33 @@ def pad_collate(coords: np.ndarray, one_hot: np.ndarray,
     rc = lib.pad_collate(
         _ptr(coords, ctypes.c_float), _ptr(one_hot, ctypes.c_float),
         _ptr(offsets, ctypes.c_int64), batch, n_max, nf,
+        _ptr(out_x, ctypes.c_float), _ptr(out_oh, ctypes.c_float),
+        _ptr(out_mask, ctypes.c_float), _ptr(out_size, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(f"complex exceeds padded size {n_max}")
+    return out_x, out_oh, out_mask, out_size
+
+
+def pad_collate_gather(coords: np.ndarray, one_hot: np.ndarray,
+                       offsets: np.ndarray, indices: np.ndarray, n_max: int):
+    """Native shuffled-batch padded collate; returns arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, np.float32)
+    one_hot = np.ascontiguousarray(one_hot, np.float32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    batch = len(indices)
+    nf = one_hot.shape[1]
+    out_x = np.empty((batch, n_max, 3), np.float32)
+    out_oh = np.empty((batch, n_max, nf), np.float32)
+    out_mask = np.empty((batch, n_max), np.float32)
+    out_size = np.empty((batch,), np.int32)
+    rc = lib.pad_collate_gather(
+        _ptr(coords, ctypes.c_float), _ptr(one_hot, ctypes.c_float),
+        _ptr(offsets, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        batch, n_max, nf,
         _ptr(out_x, ctypes.c_float), _ptr(out_oh, ctypes.c_float),
         _ptr(out_mask, ctypes.c_float), _ptr(out_size, ctypes.c_int32))
     if rc != 0:

@@ -88,3 +88,31 @@ int perceive_bonds(const float* coords, const int32_t* types, int64_t n_atoms,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Gather-collate: pad a *shuffled* batch selected by complex indices.
+// indices: (batch,) int64 complex ids; the rest as pad_collate.
+int pad_collate_gather(const float* coords, const float* one_hot,
+                       const int64_t* offsets, const int64_t* indices,
+                       int64_t batch, int64_t n_max, int64_t nf, float* out_x,
+                       float* out_oh, float* out_mask, int32_t* out_size) {
+  std::memset(out_x, 0, sizeof(float) * batch * n_max * 3);
+  std::memset(out_oh, 0, sizeof(float) * batch * n_max * nf);
+  std::memset(out_mask, 0, sizeof(float) * batch * n_max);
+  for (int64_t b = 0; b < batch; ++b) {
+    const int64_t c = indices[b];
+    const int64_t start = offsets[c];
+    const int64_t n = offsets[c + 1] - start;
+    if (n > n_max) return -1;
+    std::memcpy(out_x + b * n_max * 3, coords + start * 3,
+                sizeof(float) * n * 3);
+    std::memcpy(out_oh + b * n_max * nf, one_hot + start * nf,
+                sizeof(float) * n * nf);
+    for (int64_t i = 0; i < n; ++i) out_mask[b * n_max + i] = 1.0f;
+    out_size[b] = static_cast<int32_t>(n);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -60,7 +60,7 @@ def main():
     from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
 
     T = 500
-    batch = 16
+    batch = 8
     n_lig = 24
 
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T)
@@ -77,7 +77,7 @@ def main():
     # short (the tunnel enforces per-execution limits); overhead is a few ms
     def sample(params, key):
         return module.ddpm.sample_given_pocket_segmented(
-            params, key, pocket, lig_mask, timesteps=T, segment=100)
+            params, key, pocket, lig_mask, timesteps=T, segment=50)
 
     # compile + warmup
     out = sample(params, jax.random.PRNGKey(1))

@@ -81,21 +81,55 @@ def create_train_state(params, lr: float) -> TrainState:
                       step=jnp.asarray(0, jnp.int32))
 
 
-def make_train_step(module, lr: float, clip_grad: bool = True):
+def make_train_step(module, lr: float, clip_grad: bool = True,
+                    accumulate_grad_batches: int = 1):
     """Build the jitted train step for a LigandPocketDDPM module.
 
     Data parallelism: jit with the batch sharded over the mesh 'data' axis
     and params replicated; XLA GSPMD inserts the gradient all-reduce.
+
+    ``accumulate_grad_batches`` > 1 splits the batch into micro-batches and
+    averages gradients inside one jitted ``lax.scan`` — the on-chip
+    equivalent of Lightning's accumulation (crossdock_fullatom_joint.yml
+    sets accumulate_grad_batches: 4).
     """
     opt = make_optimizer(lr)
+    k_acc = accumulate_grad_batches
 
     @jax.jit
     def train_step(state: TrainState, rng, ligand, pocket):
-        def loss_fn(params):
-            return module.loss_fn(params, rng, ligand, pocket, training=True)
+        def loss_fn(params, rng, lig, pkt):
+            return module.loss_fn(params, rng, lig, pkt, training=True)
 
-        (loss, info), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if k_acc <= 1:
+            (loss, info), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, rng, ligand, pocket)
+        else:
+            B = ligand["x"].shape[0]
+            assert B % k_acc == 0, (B, k_acc)
+
+            def split(d):
+                return jax.tree.map(
+                    lambda a: a.reshape((k_acc, B // k_acc) + a.shape[1:]), d)
+
+            lig_mb, pkt_mb = split(ligand), split(pocket)
+            rngs = jax.random.split(rng, k_acc)
+
+            def micro(carry, inp):
+                lig, pkt, key = inp
+                (loss, info), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, key, lig, pkt)
+                acc_grads, acc_loss = carry
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), info
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), infos = jax.lax.scan(
+                micro, (zero_grads, 0.0), (lig_mb, pkt_mb, rngs))
+            grads = jax.tree.map(lambda g: g / k_acc, grads)
+            loss = loss / k_acc
+            info = jax.tree.map(lambda x: x.mean(0), infos)
+            info["loss"] = loss
 
         queue = state.queue
         if clip_grad:
@@ -200,7 +234,9 @@ class Trainer:
         while cfg.batch_size % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(n_dev)
-        self.train_step = make_train_step(module, cfg.lr, cfg.clip_grad)
+        self.train_step = make_train_step(
+            module, cfg.lr, cfg.clip_grad,
+            accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1))
         self.eval_step = make_eval_step(module)
         self.best_val = float("inf")
         self.ckpt_dir = Path(cfg.logdir) / cfg.run_name / "checkpoints"

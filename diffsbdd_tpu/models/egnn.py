@@ -157,6 +157,7 @@ class DenseGCL(nn.Module):
     attention: bool = False
     impl: str = "xla"
     interpret: bool = False
+    compute_dtype: Any = jnp.float32  # pairwise-message compute precision
 
     @nn.compact
     def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None):
@@ -185,19 +186,30 @@ class DenseGCL(nn.Module):
                 impl="pallas", tile_i=fused_ctx["tile_i"],
                 tile_j=fused_ctx["tile_j"], interpret=self.interpret)
         else:
-            mij = jax.nn.silu(_split_pair_dense(k1, b1, h, edge_feat, H))
-            mij = jax.nn.silu(mij @ k2 + b2)
+            cd = self.compute_dtype
+            # bf16 compute halves the HBM traffic of the O(N^2) message
+            # tensors; accumulation back to f32 happens in the reduction
+            mij = jax.nn.silu(_split_pair_dense(
+                k1.astype(cd), b1.astype(cd), h.astype(cd),
+                edge_feat.astype(cd), H))
+            mij = jax.nn.silu(mij @ k2.astype(cd) + b2.astype(cd))
             out = mij
             if self.attention:
-                out = mij * jax.nn.sigmoid(mij @ k_att + b_att)
-            out = out * adj[..., None]
+                out = mij * jax.nn.sigmoid(
+                    mij @ k_att.astype(cd) + b_att.astype(cd))
+            adj_c = adj.astype(cd)
             if self.aggregation_method == "sum":
-                agg = jnp.sum(out, axis=2) / self.normalization_factor
+                agg = jnp.einsum("bijh,bij->bih", out, adj_c,
+                                 preferred_element_type=jnp.float32) \
+                    / self.normalization_factor
             elif self.aggregation_method == "mean":
                 denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
-                agg = jnp.sum(out, axis=2) / denom[..., None]
+                agg = jnp.einsum("bijh,bij->bih", out, adj_c,
+                                 preferred_element_type=jnp.float32) \
+                    / denom[..., None]
             else:
                 raise ValueError(self.aggregation_method)
+            agg = agg.astype(h.dtype)
 
         # node MLP: Linear(H + F -> F), silu, Linear(F -> H), residual
         inp = jnp.concatenate([h, agg], axis=-1)
@@ -227,6 +239,7 @@ class _CoordMLP(nn.Module):
     hidden_nf: int
     edges_in_d: int
     node_nf: int
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.lin0_kernel = self.param(
@@ -245,11 +258,13 @@ class _CoordMLP(nn.Module):
         return self.lin0_kernel, self.lin0_bias, k1, b1, k2
 
     def __call__(self, h, edge_feat):
+        cd = self.compute_dtype
         _, _, k1, b1, k2 = self.weights()
         z = jax.nn.silu(_split_pair_dense(
-            self.lin0_kernel, self.lin0_bias, h, edge_feat, h.shape[-1]))
-        z = jax.nn.silu(z @ k1 + b1)
-        return z @ k2  # (B, N, N, 1)
+            self.lin0_kernel.astype(cd), self.lin0_bias.astype(cd),
+            h.astype(cd), edge_feat.astype(cd), h.shape[-1]))
+        z = jax.nn.silu(z @ k1.astype(cd) + b1.astype(cd))
+        return (z @ k2.astype(cd)).astype(jnp.float32)  # (B, N, N, 1)
 
 
 class DenseEquivariantUpdate(nn.Module):
@@ -265,13 +280,17 @@ class DenseEquivariantUpdate(nn.Module):
     reflection_equiv: bool = True
     impl: str = "xla"
     interpret: bool = False
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.coord_mlp = _CoordMLP(self.hidden_nf, self.edges_in_d,
-                                   self.node_nf, name="coord_mlp")
+                                   self.node_nf,
+                                   compute_dtype=self.compute_dtype,
+                                   name="coord_mlp")
         if not self.reflection_equiv:
             self.cross_product_mlp = _CoordMLP(
                 self.hidden_nf, self.edges_in_d, self.node_nf,
+                compute_dtype=self.compute_dtype,
                 name="cross_product_mlp")
 
     def __call__(self, h, coord, coord_diff, coord_cross, edge_feat, adj,
@@ -355,6 +374,7 @@ class EquivariantBlock(nn.Module):
     reflection_equiv: bool = True
     impl: str = "xla"
     interpret: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr, update_coords_mask=None,
@@ -381,7 +401,8 @@ class EquivariantBlock(nn.Module):
                          normalization_factor=self.normalization_factor,
                          aggregation_method=self.aggregation_method,
                          attention=self.attention, impl=self.impl,
-                         interpret=self.interpret, name=f"gcl_{i}")(
+                         interpret=self.interpret,
+                         compute_dtype=self.compute_dtype, name=f"gcl_{i}")(
                 h, edge_feat, adj, node_mask, fused_ctx=ctx)
         x = DenseEquivariantUpdate(
             self.hidden_nf, self.edge_feat_nf, node_nf=self.hidden_nf,
@@ -389,7 +410,8 @@ class EquivariantBlock(nn.Module):
             aggregation_method=self.aggregation_method, tanh=self.tanh,
             coords_range=self.coords_range,
             reflection_equiv=self.reflection_equiv, impl=self.impl,
-            interpret=self.interpret, name="gcl_equiv")(
+            interpret=self.interpret, compute_dtype=self.compute_dtype,
+            name="gcl_equiv")(
             h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
             update_coords_mask, fused_ctx=ctx)
         return h * node_mask[..., None], x
@@ -418,6 +440,7 @@ class EGNN(nn.Module):
     reflection_equiv: bool = True
     impl: str = "xla"
     interpret: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr=None,
@@ -452,7 +475,7 @@ class EGNN(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 reflection_equiv=self.reflection_equiv, impl=self.impl,
-                interpret=self.interpret,
+                interpret=self.interpret, compute_dtype=self.compute_dtype,
                 name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_feat0, update_coords_mask,
                 fused_ctx=ctx)

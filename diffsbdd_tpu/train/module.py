@@ -52,6 +52,7 @@ class LigandPocketDDPM:
         lig_bucket: int = 8,
         pocket_bucket: int = 64,
         egnn_impl: str = "auto",
+        compute_dtype: str = "float32",
     ):
         assert mode in DDPM_MODELS
         assert pocket_representation in {"CA", "full-atom"}
@@ -112,6 +113,8 @@ class LigandPocketDDPM:
             reflection_equivariant=egnn_params.reflection_equivariant,
             edge_embedding_dim=egnn_params.get("edge_embedding_dim"),
             impl=egnn_impl,
+            compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
+            else jnp.float32,
         )
 
         self.ddpm = DDPM_MODELS[mode](
@@ -422,4 +425,5 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         lig_bucket=cfg.tpu.lig_bucket,
         pocket_bucket=cfg.tpu.pocket_bucket,
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
+        compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
     )

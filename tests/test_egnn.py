@@ -237,3 +237,21 @@ def test_dynamics_gnn_mode():
     eps_lig, eps_pkt = dyn.apply(params, xh_lig, xh_pkt, t, m_l, m_p)
     assert eps_lig.shape == xh_lig.shape
     assert eps_pkt.shape == xh_pkt.shape
+
+
+def test_bf16_compute_close_to_f32():
+    """compute_dtype=bf16 output tracks the f32 path within bf16 tolerance."""
+    import jax.numpy as jnp
+    h, x, adj, mask = make_graph(jax.random.PRNGKey(9))
+    m32 = EGNN(hidden_nf=32, out_node_nf=6, n_layers=2, attention=True,
+               tanh=True, inv_sublayers=1, norm_constant=1.0)
+    m16 = EGNN(hidden_nf=32, out_node_nf=6, n_layers=2, attention=True,
+               tanh=True, inv_sublayers=1, norm_constant=1.0,
+               compute_dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(10), h, x, adj, mask)
+    h1, x1 = m32.apply(params, h, x, adj, mask)
+    h2, x2 = m16.apply(params, h, x, adj, mask)
+    assert h2.dtype == h1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               atol=0.05, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=0.05)

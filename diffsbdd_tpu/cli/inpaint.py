@@ -55,9 +55,19 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
                    add_n_nodes: Optional[int] = None, center: str = "ligand",
                    sanitize: bool = False, largest_frag: bool = False,
                    relax_iter: int = 0, timesteps: Optional[int] = None,
-                   resamplings: int = 1,
+                   resamplings: int = 1, save_traj: bool = False,
                    size_rng: Optional[np.random.Generator] = None):
-    """Generate ligands around a fixed substructure (inpaint.py:63-189)."""
+    """Generate ligands around a fixed substructure (inpaint.py:63-189).
+
+    ``save_traj`` (requires n_samples=1) returns one molecule per denoising
+    frame instead of per sample, like the reference's trajectory mode.
+    """
+    if save_traj and n_samples > 1:
+        raise NotImplementedError(
+            "Can only visualize trajectory with n_samples=1.")
+    frames = (timesteps or module.ddpm.T) if save_traj else 1
+    if save_traj:
+        sanitize, relax_iter, largest_frag = False, 0, False
     struct = pdbmod.parse_pdb(pdb_file)
     residues = pdbmod.get_pocket_from_ligand(struct, ligand)
     pocket = module.prepare_pocket(residues, repeats=n_samples)
@@ -95,10 +105,20 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
 
     xh_lig, xh_pocket = module.ddpm.inpaint(
         params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
-        center=center, resamplings=resamplings, timesteps=timesteps)
+        center=center, resamplings=resamplings, timesteps=timesteps,
+        return_frames=frames)
 
-    xh_lig = np.array(xh_lig)
-    xh_pocket = np.array(xh_pocket)
+    if save_traj:
+        # treat intermediate frames as the batch axis (inpaint.py:152-162)
+        xh_lig = np.array(xh_lig[:, 0])
+        xh_pocket = np.array(xh_pocket[:, 0])
+        lig_mask = np.repeat(lig_mask[:1], frames, axis=0)
+        pkt_m = np.repeat(pkt_m[:1], frames, axis=0)
+        com_before = np.repeat(com_before[:1], frames, axis=0)
+        n_samples = frames
+    else:
+        xh_lig = np.array(xh_lig)
+        xh_pocket = np.array(xh_pocket)
     com_after = (xh_pocket[..., :3] * pkt_m[..., None]).sum(1) \
         / pkt_m.sum(1)[..., None]
     shift = com_before - com_after
@@ -133,6 +153,7 @@ def main(argv=None):
     p.add_argument("--sanitize", action="store_true")
     p.add_argument("--resamplings", type=int, default=20)
     p.add_argument("--timesteps", type=int, default=50)
+    p.add_argument("--save_traj", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -144,6 +165,7 @@ def main(argv=None):
         sanitize=args.sanitize,
         relax_iter=(200 if args.relax else 0),
         timesteps=args.timesteps, resamplings=args.resamplings,
+        save_traj=args.save_traj,
         size_rng=np.random.default_rng(args.seed))
 
     args.outfile.parent.mkdir(parents=True, exist_ok=True)

@@ -1029,16 +1029,23 @@ class ConditionalDDPM(DDPMBase):
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
     @partial(jax.jit, static_argnums=(0,),
-             static_argnames=("resamplings", "timesteps", "center"))
+             static_argnames=("resamplings", "timesteps", "center",
+                              "return_frames"))
     def inpaint(self, params, rng, ligand: Batch, pocket: Batch,
                 lig_fixed: Array, resamplings: int = 1,
-                timesteps: Optional[int] = None, center: str = "ligand"):
+                timesteps: Optional[int] = None, center: str = "ligand",
+                return_frames: int = 1):
         """Conditional RePaint inpainting (conditional_model.py:557-686).
 
         The (T x resamplings) double loop is flattened into one scan over
         (s, u) pairs; the re-noise step runs under a flag for u < R-1.
+        With ``return_frames`` > 1 the unnormalized state at the end of each
+        resampling cycle is collected (chronological order, final decode
+        last) — the trajectory output behind inpaint.py's --save_traj.
         """
         timesteps = self.T if timesteps is None else timesteps
+        assert 0 < return_frames <= timesteps
+        assert timesteps % return_frames == 0
         ligand, pocket = self.normalize(ligand, pocket)
         B = ligand["x"].shape[0]
         nd = self.n_dims
@@ -1108,17 +1115,32 @@ class ConditionalDDPM(DDPMBase):
                 return self._noise_step(params, k3, zl, xp, m_l, m_p,
                                         gamma_t, gamma_s)
 
+            # frame BEFORE the optional re-noise (end-of-cycle state)
+            frame = (self.unnormalize_z(z_lig), self.unnormalize_z(xh_pkt)) \
+                if return_frames > 1 else None
+
             z_lig, xh_pkt = jax.lax.cond(
                 u < resamplings - 1, renoise, lambda a: a, (z_lig, xh_pkt))
-            return (z_lig, xh_pkt), None
+            return (z_lig, xh_pkt), frame
 
-        (z_lig, xh_pkt), _ = jax.lax.scan(
+        (z_lig, xh_pkt), frames = jax.lax.scan(
             step, (z_lig, xh_pkt), (jnp.asarray(s_seq), jnp.asarray(u_seq)))
 
         x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
             params, k_final, z_lig, xh_pkt, m_l, m_p)
-        return (jnp.concatenate([x_lig, h_lig], -1),
-                jnp.concatenate([x_pkt, h_pkt], -1))
+        final_lig = jnp.concatenate([x_lig, h_lig], -1)
+        final_pkt = jnp.concatenate([x_pkt, h_pkt], -1)
+
+        if return_frames > 1:
+            # end-of-resampling-cycle states: scan index (i+1)*R - 1 per s
+            frames_lig, frames_pkt = frames
+            frames_lig = frames_lig[resamplings - 1::resamplings]
+            frames_pkt = frames_pkt[resamplings - 1::resamplings]
+            stride = timesteps // return_frames
+            frames_lig = frames_lig[stride - 1::stride].at[-1].set(final_lig)
+            frames_pkt = frames_pkt[stride - 1::stride].at[-1].set(final_pkt)
+            return frames_lig, frames_pkt
+        return final_lig, final_pkt
 
 
 class SimpleConditionalDDPM(ConditionalDDPM):

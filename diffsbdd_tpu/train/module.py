@@ -333,8 +333,11 @@ class LigandPocketDDPM:
                 pocket_fixed=pocket["mask"],
                 timesteps=timesteps, **kwargs)
         else:
-            xh_lig, xh_pocket = self.ddpm.sample_given_pocket(
-                params, rng, pocket, lig_mask, timesteps=timesteps)
+            # segmented dispatch keeps each device execution short while
+            # producing the identical trajectory (tested bit-equal)
+            xh_lig, xh_pocket = self.ddpm.sample_given_pocket_segmented(
+                params, rng, pocket, lig_mask, timesteps=timesteps,
+                segment=50)
 
         # translate back into the original pocket frame
         pkt_m = np.asarray(pocket["mask"])

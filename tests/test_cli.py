@@ -135,3 +135,31 @@ def test_inpaint_cli_main(tmp_path):
                   "--add_n_nodes", "4",
                   "--timesteps", "5", "--resamplings", "2"])
     assert outfile.exists()
+
+
+@pytest.mark.skipif(not Path("/root/reference/example/5ndu.pdb").exists(),
+                    reason="example unavailable")
+def test_inpaint_save_traj(tmp_path):
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    cfg = small_cfg(tmp_path, datadir)
+    module = build_module_from_config(cfg, np.ones((17, 65)))
+    params = module.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params, lr=1e-3)
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_model(ckpt_dir, module, state, cfg, name="best")
+
+    from diffsbdd_tpu.cli.inpaint import main as inpaint_main
+    outfile = tmp_path / "traj.sdf"
+    inpaint_main([str(ckpt_dir),
+                  "--pdbfile", "/root/reference/example/5ndu.pdb",
+                  "--ref_ligand", "A:201",
+                  "--fix_atoms", "C1", "N1",
+                  "--outfile", str(outfile), "--n_samples", "1",
+                  "--add_n_nodes", "4",
+                  "--timesteps", "5", "--resamplings", "2", "--save_traj"])
+    assert outfile.exists()
+    from diffsbdd_tpu.chem.sdfio import read_sdf
+    mols = read_sdf(outfile)
+    assert len(mols) == 5  # one molecule per denoising frame

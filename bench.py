@@ -79,9 +79,12 @@ def main():
         return module.ddpm.sample_given_pocket_segmented(
             params, key, pocket, lig_mask, timesteps=T, segment=50)
 
-    # compile + warmup
-    out = sample(params, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    # compile + warmup at a short schedule: the T=500 run reuses the same
+    # compiled 50-step segment + decode functions
+    warm = module.ddpm.sample_given_pocket_segmented(
+        params, jax.random.PRNGKey(1), pocket, lig_mask, timesteps=100,
+        segment=50)
+    jax.block_until_ready(warm)
 
     n_runs = 1
     t0 = time.perf_counter()

@@ -311,8 +311,13 @@ class LigandPocketDDPM:
             / jnp.sum(pocket["mask"], 1)[..., None])
 
         if num_nodes_lig is None:
-            num_nodes_lig = self.ddpm.size_distribution.sample_conditional(
-                n2=np.asarray(pocket["size"]), rng=size_rng)
+            if self.virtual_nodes:
+                # virtual-node models always generate at the padded max size
+                # (lightning_modules.py:519-521)
+                num_nodes_lig = np.full(n_samples, self.max_num_nodes)
+            else:
+                num_nodes_lig = self.ddpm.size_distribution.sample_conditional(
+                    n2=np.asarray(pocket["size"]), rng=size_rng)
         num_nodes_lig = np.asarray(num_nodes_lig) + n_nodes_bias
         num_nodes_lig = np.clip(num_nodes_lig, n_nodes_min, None)
 

@@ -104,4 +104,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit a parseable record
+        print(json.dumps({
+            "metric": "molecules_per_sec_per_chip_T500",
+            "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))

@@ -14,3 +14,16 @@ idiomatic JAX/XLA/Pallas/pjit stack:
 """
 
 __version__ = "0.1.0"
+
+# Convenience re-exports (lazy where heavy)
+from diffsbdd_tpu.config import Config, load_config  # noqa: E402,F401
+
+
+def build_module(cfg, node_histogram):
+    from diffsbdd_tpu.train.module import build_module_from_config
+    return build_module_from_config(cfg, node_histogram)
+
+
+def load_model(ckpt_dir, name="best"):
+    from diffsbdd_tpu.checkpoint import load_model as _load
+    return _load(ckpt_dir, name=name)

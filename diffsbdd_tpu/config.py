@@ -112,6 +112,7 @@ _DEFAULTS: Dict[str, Any] = {
         "pocket_bucket": 64,
         "mesh_data": -1,          # -1: all visible devices on the data axis
         "compute_dtype": "float32",
+        "matmul_precision": "float32",  # 'bfloat16' trades ~1e-2 eps noise for speed
         "remat": True,            # rematerialize EGNN blocks in training
         "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
     },

@@ -53,6 +53,7 @@ class LigandPocketDDPM:
         pocket_bucket: int = 64,
         egnn_impl: str = "auto",
         compute_dtype: str = "float32",
+        matmul_precision: str = "float32",
     ):
         assert mode in DDPM_MODELS
         assert pocket_representation in {"CA", "full-atom"}
@@ -115,6 +116,7 @@ class LigandPocketDDPM:
             impl=egnn_impl,
             compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
             else jnp.float32,
+            matmul_precision=matmul_precision,
         )
 
         self.ddpm = DDPM_MODELS[mode](
@@ -434,4 +436,5 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         pocket_bucket=cfg.tpu.pocket_bucket,
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
+        matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
     )

@@ -32,7 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_I = 64
+# Default tiles: tile_j must be 128 (lane-dim slicing constraint); tile_i=16
+# keeps total VMEM under the 16MB scoped limit at F=256 with the ~6 live
+# (tile_i, tile_j, F) temporaries Mosaic allocates (measured on v5e).
+TILE_I = 16
 TILE_J = 128
 
 
@@ -90,6 +93,10 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
     return out
 
 
+MXU_PRECISION = jax.lax.Precision.HIGHEST  # parity-first; tiles stay in VMEM
+# so the extra MXU passes are compute the kernel has headroom for
+
+
 def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
               w2, b2, w3):
     """silu(first layer) -> silu(dense) -> dense(head): shared tile helper."""
@@ -98,10 +105,12 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
     pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
         d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     m = _silu(pre).reshape(ti * tj, -1)
-    m = _silu(jnp.dot(m, w2, preferred_element_type=jnp.float32) + b2)
+    m = _silu(jnp.dot(m, w2, preferred_element_type=jnp.float32,
+                      precision=MXU_PRECISION) + b2)
     if w3 is None:
         return m
-    return jnp.dot(m, w3, preferred_element_type=jnp.float32).reshape(ti, tj)
+    return jnp.dot(m, w3, preferred_element_type=jnp.float32,
+                   precision=MXU_PRECISION).reshape(ti, tj)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +147,8 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                           w2_ref[:], b2_ref[0], None)
             if attention:
                 att = jax.nn.sigmoid(
-                    jnp.dot(m, watt_ref[:], preferred_element_type=jnp.float32)
+                    jnp.dot(m, watt_ref[:], preferred_element_type=jnp.float32,
+                            precision=MXU_PRECISION)
                     + batt_ref[0])
                 m = m * att
             adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)

@@ -118,7 +118,9 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
 # ---------------------------------------------------------------------------
 
 def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
-                     normalization_factor):
+                     normalization_factor, sub_j=32):
+    sub_j = min(sub_j, tile_j)
+    assert tile_j % sub_j == 0, (tile_j, sub_j)
     def kernel(a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
                mask_ref, maskt_ref, lig_ref, ligt_ref,
                wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
@@ -142,18 +144,34 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
 
             d2 = _pair_distance2(x_i, x_j_t)
             d2_0 = _pair_distance2(x0_i, x0_j_t)
-            m = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
-                          wd2_ref[0], wd20_ref[0], type_bias,
-                          w2_ref[:], b2_ref[0], None)
-            if attention:
-                att = jax.nn.sigmoid(
-                    jnp.dot(m, watt_ref[:], preferred_element_type=jnp.float32,
-                            precision=MXU_PRECISION)
-                    + batt_ref[0])
-                m = m * att
             adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
-            m = m.reshape(ti, tj, -1) * adj[:, :, None]
-            return acc + jnp.sum(m, axis=1)
+
+            def compute_sub(sl):
+                m = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
+                              lig_i, lig_j[:, sl],
+                              wd2_ref[0], wd20_ref[0], type_bias,
+                              w2_ref[:], b2_ref[0], None)
+                if attention:
+                    att = jax.nn.sigmoid(
+                        jnp.dot(m, watt_ref[:],
+                                preferred_element_type=jnp.float32,
+                                precision=MXU_PRECISION)
+                        + batt_ref[0])
+                    m = m * att
+                m = m.reshape(ti, sl.stop - sl.start, -1)
+                return jnp.sum(m * adj[:, sl, None], axis=1)
+
+            # sub-tile skipping: cutoff sparsity makes many 32-column blocks
+            # edge-free (38% active on the 3rfm pocket at 5 A); the MLPs only
+            # run for active blocks, the cheap d2/adjacency always runs
+            F_out = out_ref.shape[2]
+            for k in range(tile_j // sub_j):
+                sl = slice(k * sub_j, (k + 1) * sub_j)
+                acc = acc + jax.lax.cond(
+                    jnp.any(adj[:, sl] > 0),
+                    lambda sl=sl: compute_sub(sl),
+                    lambda: jnp.zeros((ti, F_out), jnp.float32))
+            return acc
 
         acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
         acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
@@ -231,7 +249,9 @@ def gcl_message_agg_pallas(
 
 def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                        coords_range, reflection_equiv, norm_constant,
-                       normalization_factor):
+                       normalization_factor, sub_j=32):
+    sub_j = min(sub_j, tile_j)
+    assert tile_j % sub_j == 0, (tile_j, sub_j)
     def kernel(*refs):
         if reflection_equiv:
             (a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
@@ -270,40 +290,55 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
             d2 = _pair_distance2(x_i, x_j_t)
             d2_0 = _pair_distance2(x0_i, x0_j_t)
             adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
-
-            phi = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
-                            wd2_ref[0], wd20_ref[0], type_bias,
-                            w2_ref[:], b2_ref[0], w3_ref[:])
-            if tanh:
-                phi = jnp.tanh(phi) * coords_range
-            norm = jnp.sqrt(d2 + 1e-8) + norm_constant
-            w = phi / norm * adj
-
             if not reflection_equiv:
                 c_j = c_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
-                phi_c = _pair_mlp(c_i, c_j, d2, d2_0, lig_i, lig_j,
-                                  cwd2_ref[0], cwd20_ref[0], ctype_bias,
-                                  cw2_ref[:], cb2_ref[0], cw3_ref[:])
-                if tanh:
-                    phi_c = jnp.tanh(phi_c) * coords_range
-                # centered coordinates: rows (ti, 1), cols (1, tj)
-                xi = [x_i[:, a:a + 1] - mean[:, a:a + 1] for a in range(3)]
-                xj = [x_j_t[a:a + 1, :] - mean[:, a:a + 1] for a in range(3)]
-                cx = xi[1] * xj[2] - xi[2] * xj[1]
-                cy = xi[2] * xj[0] - xi[0] * xj[2]
-                cz = xi[0] * xj[1] - xi[1] * xj[0]
-                cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz) + norm_constant
-                wc = phi_c / cnorm * adj
-                cross = (cx, cy, cz)
 
-            cols = []
-            for a in range(3):
-                diff_a = x_i[:, a:a + 1] - x_j_t[a:a + 1, :]
-                t_a = jnp.sum(w * diff_a, axis=1, keepdims=True)
+            def compute_sub(sl):
+                phi = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
+                                lig_i, lig_j[:, sl],
+                                wd2_ref[0], wd20_ref[0], type_bias,
+                                w2_ref[:], b2_ref[0], w3_ref[:])
+                if tanh:
+                    phi = jnp.tanh(phi) * coords_range
+                norm = jnp.sqrt(d2[:, sl] + 1e-8) + norm_constant
+                w = phi / norm * adj[:, sl]
+
                 if not reflection_equiv:
-                    t_a = t_a + jnp.sum(wc * cross[a], axis=1, keepdims=True)
-                cols.append(t_a)
-            return acc + jnp.concatenate(cols, axis=1)
+                    phi_c = _pair_mlp(c_i, c_j[sl], d2[:, sl], d2_0[:, sl],
+                                      lig_i, lig_j[:, sl],
+                                      cwd2_ref[0], cwd20_ref[0], ctype_bias,
+                                      cw2_ref[:], cb2_ref[0], cw3_ref[:])
+                    if tanh:
+                        phi_c = jnp.tanh(phi_c) * coords_range
+                    # centered coordinates: rows (ti, 1), cols (1, sub_j)
+                    xi = [x_i[:, a:a + 1] - mean[:, a:a + 1] for a in range(3)]
+                    xj = [x_j_t[a:a + 1, sl] - mean[:, a:a + 1]
+                          for a in range(3)]
+                    cx = xi[1] * xj[2] - xi[2] * xj[1]
+                    cy = xi[2] * xj[0] - xi[0] * xj[2]
+                    cz = xi[0] * xj[1] - xi[1] * xj[0]
+                    cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz) \
+                        + norm_constant
+                    wc = phi_c / cnorm * adj[:, sl]
+                    cross = (cx, cy, cz)
+
+                cols = []
+                for a in range(3):
+                    diff_a = x_i[:, a:a + 1] - x_j_t[a:a + 1, sl]
+                    t_a = jnp.sum(w * diff_a, axis=1, keepdims=True)
+                    if not reflection_equiv:
+                        t_a = t_a + jnp.sum(wc * cross[a], axis=1,
+                                            keepdims=True)
+                    cols.append(t_a)
+                return jnp.concatenate(cols, axis=1)
+
+            for k in range(tile_j // sub_j):
+                sl = slice(k * sub_j, (k + 1) * sub_j)
+                acc = acc + jax.lax.cond(
+                    jnp.any(adj[:, sl] > 0),
+                    lambda sl=sl: compute_sub(sl),
+                    lambda: jnp.zeros((ti, 3), jnp.float32))
+            return acc
 
         acc = jnp.zeros((ti, 3), jnp.float32)
         acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)

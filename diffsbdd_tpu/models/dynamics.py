@@ -164,8 +164,9 @@ class EGNNDynamics(nn.Module):
                 adj = None
                 fused_ctx = dict(mask=mask, is_lig=is_lig,
                                  type_table=type_table, cutoffs=cutoffs,
-                                 tile_i=min(64, self.kernel_tile),
-                                 tile_j=self.kernel_tile)
+                                 tile_i=min(16, self.kernel_tile),
+                                 tile_j=self.kernel_tile,
+                                 mxu_precision=self.matmul_precision)
             else:
                 fused_ctx = None
                 adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)

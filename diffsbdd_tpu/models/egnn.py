@@ -184,7 +184,9 @@ class DenseGCL(nn.Module):
                 cutoffs=fused_ctx["cutoffs"], attention=self.attention,
                 normalization_factor=self.normalization_factor,
                 impl="pallas", tile_i=fused_ctx["tile_i"],
-                tile_j=fused_ctx["tile_j"], interpret=self.interpret)
+                tile_j=fused_ctx["tile_j"],
+                mxu_precision=fused_ctx.get("mxu_precision", "float32"),
+                interpret=self.interpret)
         else:
             cd = self.compute_dtype
             # bf16 compute halves the HBM traffic of the O(N^2) message
@@ -351,6 +353,7 @@ class DenseEquivariantUpdate(nn.Module):
             normalization_factor=self.normalization_factor,
             cross=cross, graph_mean=graph_mean, impl="pallas",
             tile_i=ctx["tile_i"], tile_j=ctx["tile_j"],
+            mxu_precision=ctx.get("mxu_precision", "float32"),
             interpret=self.interpret)
 
 

@@ -93,12 +93,17 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
     return out
 
 
-MXU_PRECISION = jax.lax.Precision.HIGHEST  # parity-first; tiles stay in VMEM
-# so the extra MXU passes are compute the kernel has headroom for
+# in-kernel MXU precision by policy name (the edge features are computed
+# elementwise and are always exact; only the hidden-layer dots vary)
+_PRECISIONS = {
+    "float32": jax.lax.Precision.HIGHEST,      # exact (2e-5 vs CPU, measured)
+    "tensorfloat32": jax.lax.Precision.HIGH,   # ~5e-3, ~2x faster
+    "bfloat16": jax.lax.Precision.DEFAULT,     # ~0.4 on large activations
+}
 
 
 def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
-              w2, b2, w3):
+              w2, b2, w3, mxu):
     """silu(first layer) -> silu(dense) -> dense(head): shared tile helper."""
     ti = a_i.shape[0]
     tj = a_j.shape[0]
@@ -106,11 +111,11 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
         d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     m = _silu(pre).reshape(ti * tj, -1)
     m = _silu(jnp.dot(m, w2, preferred_element_type=jnp.float32,
-                      precision=MXU_PRECISION) + b2)
+                      precision=mxu) + b2)
     if w3 is None:
         return m
     return jnp.dot(m, w3, preferred_element_type=jnp.float32,
-                   precision=MXU_PRECISION).reshape(ti, tj)
+                   precision=mxu).reshape(ti, tj)
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +123,8 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
 # ---------------------------------------------------------------------------
 
 def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
-                     normalization_factor, sub_j=32):
+                     normalization_factor, sub_j=32,
+                     mxu=jax.lax.Precision.HIGHEST):
     sub_j = min(sub_j, tile_j)
     assert tile_j % sub_j == 0, (tile_j, sub_j)
     def kernel(a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
@@ -150,16 +156,17 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                 m = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                               lig_i, lig_j[:, sl],
                               wd2_ref[0], wd20_ref[0], type_bias,
-                              w2_ref[:], b2_ref[0], None)
+                              w2_ref[:], b2_ref[0], None, mxu)
                 if attention:
                     att = jax.nn.sigmoid(
                         jnp.dot(m, watt_ref[:],
                                 preferred_element_type=jnp.float32,
-                                precision=MXU_PRECISION)
+                                precision=mxu)
                         + batt_ref[0])
                     m = m * att
                 m = m.reshape(ti, sl.stop - sl.start, -1)
-                return jnp.sum(m * adj[:, sl, None], axis=1)
+                adj_s = adj[:, sl]
+                return jnp.sum(m * adj_s[:, :, None], axis=1)
 
             # sub-tile skipping: cutoff sparsity makes many 32-column blocks
             # edge-free (38% active on the 3rfm pocket at 5 A); the MLPs only
@@ -183,7 +190,8 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
 def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
-        tile_i=TILE_I, tile_j=TILE_J, interpret=False):
+        tile_i=TILE_I, tile_j=TILE_J, mxu_precision="float32",
+        interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
     a_row/a_col: per-node projections of h through the split first-layer
@@ -203,7 +211,8 @@ def gcl_message_agg_pallas(
     kernel = _make_gcl_kernel(
         n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
         attention=attention, has_type_bias=has_type_bias,
-        normalization_factor=normalization_factor)
+        normalization_factor=normalization_factor,
+        mxu=_PRECISIONS[mxu_precision])
 
     full = lambda b, i: (b, 0, 0)
     const2 = lambda shape: pl.BlockSpec(
@@ -249,7 +258,8 @@ def gcl_message_agg_pallas(
 
 def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                        coords_range, reflection_equiv, norm_constant,
-                       normalization_factor, sub_j=32):
+                       normalization_factor, sub_j=32,
+                       mxu=jax.lax.Precision.HIGHEST):
     sub_j = min(sub_j, tile_j)
     assert tile_j % sub_j == 0, (tile_j, sub_j)
     def kernel(*refs):
@@ -297,7 +307,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                 phi = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                                 lig_i, lig_j[:, sl],
                                 wd2_ref[0], wd20_ref[0], type_bias,
-                                w2_ref[:], b2_ref[0], w3_ref[:])
+                                w2_ref[:], b2_ref[0], w3_ref[:], mxu)
                 if tanh:
                     phi = jnp.tanh(phi) * coords_range
                 norm = jnp.sqrt(d2[:, sl] + 1e-8) + norm_constant
@@ -307,7 +317,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                     phi_c = _pair_mlp(c_i, c_j[sl], d2[:, sl], d2_0[:, sl],
                                       lig_i, lig_j[:, sl],
                                       cwd2_ref[0], cwd20_ref[0], ctype_bias,
-                                      cw2_ref[:], cb2_ref[0], cw3_ref[:])
+                                      cw2_ref[:], cb2_ref[0], cw3_ref[:], mxu)
                     if tanh:
                         phi_c = jnp.tanh(phi_c) * coords_range
                     # centered coordinates: rows (ti, 1), cols (1, sub_j)
@@ -352,7 +362,7 @@ def coord_update_agg_pallas(
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
         cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
-        interpret=False):
+        mxu_precision="float32", interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
     ``cross``: optional dict with the cross-product MLP pieces
@@ -371,7 +381,8 @@ def coord_update_agg_pallas(
         has_type_bias=has_type_bias,
         tanh=tanh, coords_range=coords_range,
         reflection_equiv=reflection_equiv, norm_constant=norm_constant,
-        normalization_factor=normalization_factor)
+        normalization_factor=normalization_factor,
+        mxu=_PRECISIONS[mxu_precision])
 
     full = lambda b, i: (b, 0, 0)
     row_spec = pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
@@ -517,11 +528,11 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
-    cutoffs, attention, nf, tile_i, tile_j, interpret = cfg
+    cutoffs, attention, nf, tile_i, tile_j, mxu_precision, interpret = cfg
     return gcl_message_agg_pallas(
         *operands, cutoffs=cutoffs, attention=attention,
         normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
-        interpret=interpret)
+        mxu_precision=mxu_precision, interpret=interpret)
 
 
 def _gcl_agg_fwd(cfg, operands):
@@ -529,7 +540,7 @@ def _gcl_agg_fwd(cfg, operands):
 
 
 def _gcl_agg_bwd(cfg, operands, g):
-    cutoffs, attention, nf, _, _, _ = cfg
+    cutoffs, attention, nf = cfg[:3]
 
     def f(ops):
         return gcl_message_agg_xla(
@@ -546,7 +557,7 @@ _gcl_agg_cvjp.defvjp(_gcl_agg_fwd, _gcl_agg_bwd)
 def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
-                    tile_j=TILE_J, interpret=False):
+                    tile_j=TILE_J, mxu_precision="float32", interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way."""
     if impl == "xla":
         return gcl_message_agg_xla(
@@ -554,7 +565,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
             normalization_factor=normalization_factor)
     cfg = (tuple(cutoffs), attention, float(normalization_factor),
-           tile_i, tile_j, interpret)
+           tile_i, tile_j, mxu_precision, interpret)
     operands = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
                 w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, operands)
@@ -562,14 +573,14 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
-    cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, \
-        interpret = cfg
+    (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j,
+     mxu_precision, interpret) = cfg
     main, cross, graph_mean = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
         cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
-        interpret=interpret)
+        mxu_precision=mxu_precision, interpret=interpret)
 
 
 def _coord_agg_fwd(cfg, operands):
@@ -597,7 +608,8 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      type_bias, w2, b2, w3, *, cutoffs, tanh, coords_range,
                      norm_constant, normalization_factor, cross=None,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
-                     tile_j=TILE_J, interpret=False):
+                     tile_j=TILE_J, mxu_precision="float32",
+                     interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable."""
     if impl == "xla":
         return coord_update_agg_xla(
@@ -607,7 +619,8 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             normalization_factor=normalization_factor, cross=cross,
             graph_mean=graph_mean)
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
-           float(normalization_factor), tile_i, tile_j, interpret)
+           float(normalization_factor), tile_i, tile_j, mxu_precision,
+           interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean))

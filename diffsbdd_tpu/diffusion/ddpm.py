@@ -834,6 +834,7 @@ class ConditionalDDPM(DDPMBase):
         return self.sample_normal_zero_com(
             key, mu_lig, xh_pkt, sigma_tgs[:, None, :], m_l, m_p)
 
+    @partial(jax.jit, static_argnums=(0,))
     def sample_p_xh_given_z0(self, params, key, z0_lig, xh_pkt, m_l, m_p):
         """Final decode (conditional_model.py:112-135)."""
         B = z0_lig.shape[0]
@@ -853,6 +854,7 @@ class ConditionalDDPM(DDPMBase):
         h_lig = jax.nn.one_hot(jnp.argmax(h_lig, -1), self.atom_nf) * m_l[..., None]
         return x_lig * m_l[..., None], h_lig, x_pkt * m_p[..., None], h_pkt
 
+    @partial(jax.jit, static_argnums=(0,))
     def _prior_sample(self, key, pocket: Batch, lig_mask):
         """z_T ~ N(pocket CoM, I), re-projected (conditional_model.py:500-508)."""
         B, NL = lig_mask.shape

@@ -1067,7 +1067,7 @@ class ConditionalDDPM(DDPMBase):
             raise NotImplementedError(f"centering option {center}")
 
         # prior centered at the known part's CoM
-        B_, NL = m_l.shape
+        NL = m_l.shape[1]
         mu = jnp.concatenate(
             [jnp.broadcast_to(mean_known[:, None, :], (B, NL, nd)),
              jnp.zeros((B, NL, self.atom_nf))], axis=-1)
@@ -1075,7 +1075,6 @@ class ConditionalDDPM(DDPMBase):
         z_lig, xh_pkt = self.sample_normal_zero_com(
             k_init, mu * m_l[..., None], xh0_pkt, jnp.ones((B, 1, 1)), m_l, m_p)
 
-        n_iter = timesteps * resamplings
         s_seq = np.repeat(np.arange(timesteps - 1, -1, -1), resamplings)
         u_seq = np.tile(np.arange(resamplings), timesteps)
 

@@ -78,11 +78,13 @@ def main():
     batch = 8
     n_lig = 24
 
-    # tensorfloat32 matmuls: ~2x faster than strict f32 on the MXU with
-    # max |eps| deviation ~5e-3 vs CPU f32 (measured) — the deployment
-    # precision; strict-parity runs use tpu.matmul_precision='float32'
+    # fused Pallas EGNN kernels at strict float32 MXU precision: measured
+    # 57 ms/step (vs 92 ms dense-XLA@tensorfloat32, 84 ms/step@float32) with
+    # 2e-5 max deviation from CPU f32 — faster AND exact.  Sub-tile cutoff
+    # skipping provides most of the win on the ~38%-dense pocket adjacency.
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
-                                   matmul_precision="tensorfloat32")
+                                   matmul_precision="float32",
+                                   egnn_impl="pallas")
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
     pocket = get_pocket(module, batch)
 

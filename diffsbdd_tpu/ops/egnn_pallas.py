@@ -96,9 +96,10 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
 # in-kernel MXU precision by policy name (the edge features are computed
 # elementwise and are always exact; only the hidden-layer dots vary)
 _PRECISIONS = {
-    "float32": jax.lax.Precision.HIGHEST,      # exact (2e-5 vs CPU, measured)
-    "tensorfloat32": jax.lax.Precision.HIGH,   # ~5e-3, ~2x faster
-    "bfloat16": jax.lax.Precision.DEFAULT,     # ~0.4 on large activations
+    "float32": jax.lax.Precision.HIGHEST,       # exact (2e-5 vs CPU, measured)
+    # Mosaic supports only DEFAULT/HIGHEST dots; map tf32 to exact
+    "tensorfloat32": jax.lax.Precision.HIGHEST,
+    "bfloat16": jax.lax.Precision.DEFAULT,      # ~0.4 on large activations
 }
 
 

@@ -75,7 +75,7 @@ def main():
     from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
 
     T = 500
-    batch = 8
+    batch = 32
     n_lig = 24
 
     # fused Pallas EGNN kernels at strict float32 MXU precision: measured

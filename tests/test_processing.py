@@ -227,3 +227,23 @@ def test_debug_checks():
     err, out = checked(f)(jnp.array(-1.0))
     with pytest.raises(Exception):
         err.throw()
+
+
+def test_spatial_ordering():
+    from diffsbdd_tpu.geom.spatial import morton_codes, morton_order, tile_locality
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 100, size=(256, 3))
+    order = morton_order(pts)
+    assert sorted(order.tolist()) == list(range(256))
+    codes = morton_codes(pts)
+    assert np.all(np.diff(codes[order].astype(np.int64)) >= 0)
+    # clustered points sort into contiguous runs -> high tile locality
+    clusters = np.concatenate([
+        rng.normal(size=(64, 3)) + c for c in ([0, 0, 0], [100, 0, 0],
+                                               [0, 100, 0], [100, 100, 0])])
+    rng.shuffle(clusters)
+    frac_raw = tile_locality(clusters, 32, cutoff=10.0)
+    frac_sorted = tile_locality(clusters[morton_order(clusters)], 32,
+                                cutoff=10.0)
+    assert frac_sorted < frac_raw

@@ -94,3 +94,13 @@ def test_diversify_ligands(ckpt):
                              pocket, [ref, ref, ref], timesteps=3)
     assert 1 <= len(mols) <= 3
     assert all(m.n_atoms == ref.n_atoms for m in mols)
+
+
+def test_bench_synthetic_pocket(monkeypatch, ckpt):
+    """bench.get_pocket falls back to a synthetic pocket cleanly."""
+    import bench as benchmod
+    _, module, _ = ckpt
+    monkeypatch.setattr(benchmod, "EXAMPLE_PDB", Path("/nonexistent.pdb"))
+    pocket = benchmod.get_pocket(module, 2)
+    assert pocket["x"].shape[0] == 2
+    assert float(pocket["mask"].sum()) > 0

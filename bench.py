@@ -124,12 +124,29 @@ def main():
     print(json.dumps(result))
 
 
+def _emit_failure(reason: str):
+    print(json.dumps({
+        "metric": "molecules_per_sec_per_chip_T500",
+        "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
+        "error": reason[:300],
+    }))
+
+
 if __name__ == "__main__":
+    # hard watchdog: a wedged TPU tunnel hangs rather than erroring; always
+    # emit a parseable record
+    import signal
+
+    def _on_timeout(signum, frame):
+        _emit_failure("watchdog: bench exceeded 540s (TPU tunnel hang?)")
+        import os
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(540)
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a parseable record
-        print(json.dumps({
-            "metric": "molecules_per_sec_per_chip_T500",
-            "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:300],
-        }))
+        _emit_failure(f"{type(e).__name__}: {e}")
+    finally:
+        signal.alarm(0)

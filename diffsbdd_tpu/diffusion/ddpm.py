@@ -613,8 +613,11 @@ class JointDDPM(DDPMBase):
 
         def step(carry, inp):
             z_lig, z_pkt = carry
-            s, jump = inp
-            key = jax.random.fold_in(k_scan, s * 131071 + jump)
+            s, jump, it = inp
+            # fold in the flat iteration index: with resamplings > 1 the same
+            # (s, jump) pair recurs across resampling rounds and must not
+            # reuse a PRNG key
+            key = jax.random.fold_in(k_scan, it)
             k1, k2, k3 = jax.random.split(key, 3)
             s_norm = jnp.full((B, 1), s, jnp.float32) / timesteps
             t_norm = (jnp.full((B, 1), s, jnp.float32) + 1) / timesteps
@@ -650,7 +653,8 @@ class JointDDPM(DDPMBase):
 
         (z_lig, z_pkt), _ = jax.lax.scan(
             step, (z_lig, z_pkt),
-            (jnp.asarray(s_arr_np), jnp.asarray(jump_np)))
+            (jnp.asarray(s_arr_np), jnp.asarray(jump_np),
+             jnp.arange(len(s_arr_np), dtype=jnp.int32)))
 
         x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
             params, k_final, z_lig, z_pkt, m_l, m_p)

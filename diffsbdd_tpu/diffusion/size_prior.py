@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 class SizeDistribution:
     def __init__(self, histogram):
-        histogram = np.asarray(histogram, dtype=np.float64) + 1e-3
+        # Keep the raw (unsmoothed) histogram so checkpoints can persist it:
+        # re-smoothing an already-normalized prob table would add 1e-3 per
+        # cell and flatten the prior toward uniform on every save/load cycle.
+        self.raw_histogram = np.asarray(histogram, dtype=np.float64)
+        histogram = self.raw_histogram + 1e-3
         if histogram.ndim != 2:
             raise ValueError("size histogram must be 2-D: (n_lig+1, n_pocket+1)")
         self.prob = histogram / histogram.sum()

@@ -450,7 +450,10 @@ class EGNN(nn.Module):
                  update_coords_mask=None, fused_ctx=None):
         dist_dim = sin_embedding_dim() if self.sin_embedding else 1
         edge_feat_nf = 2 * dist_dim + self.in_edge_nf
-        coords_range_layer = float(self.coords_range) / self.n_layers
+        # Reference passes the FULL coords_range to every block
+        # (egnn_new.py:218 forwards coords_range; :143 stores it undivided;
+        # the divided egnn_new.py:197 attribute is never used).
+        coords_range_layer = float(self.coords_range)
 
         use_fused = fused_ctx is not None and self.impl == "pallas"
         if use_fused:

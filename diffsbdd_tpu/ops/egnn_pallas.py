@@ -151,7 +151,10 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
 
             d2 = _pair_distance2(x_i, x_j_t)
             d2_0 = _pair_distance2(x0_i, x0_j_t)
-            adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
+            # adjacency from the EGNN *input* coordinates (d2_0): the
+            # reference builds edges once per forward (dynamics.py:169-187),
+            # not per block; current-x distances only feed the edge features
+            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j, cutoffs)
 
             def compute_sub(sl):
                 m = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
@@ -300,7 +303,8 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
 
             d2 = _pair_distance2(x_i, x_j_t)
             d2_0 = _pair_distance2(x0_i, x0_j_t)
-            adj = _adjacency_tile(d2, mask_i, mask_j, lig_i, lig_j, cutoffs)
+            # edges fixed from input coordinates, as in the reference
+            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j, cutoffs)
             if not reflection_equiv:
                 c_j = c_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
 
@@ -478,7 +482,7 @@ def gcl_message_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     m = _silu(m @ w2 + b2)
     if attention:
         m = m * jax.nn.sigmoid(m @ w_att + b_att)
-    adj = _adjacency_dense(d2, mask, is_lig, cutoffs)
+    adj = _adjacency_dense(d2_0, mask, is_lig, cutoffs)
     m = m * adj[..., None]
     return jnp.sum(m, axis=2) / normalization_factor
 
@@ -490,7 +494,7 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     """Dense-XLA twin of the fused coordinate-update kernel."""
     d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
     d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
-    adj = _adjacency_dense(d2, mask, is_lig, cutoffs)
+    adj = _adjacency_dense(d2_0, mask, is_lig, cutoffs)
 
     pre = a_row[:, :, None, :] + a_col[:, None, :, :] + _edge_bias_dense(
         d2, d2_0, w_d2, w_d20, is_lig, type_bias)

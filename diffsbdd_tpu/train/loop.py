@@ -270,7 +270,7 @@ class Trainer:
                 self.log({"loss": val_loss}, "val", int(state.step))
                 cfg_dict = self.cfg.to_dict()
                 cfg_dict["node_histogram"] = np.asarray(
-                    self.module.ddpm.size_distribution.prob).tolist()
+                    self.module.ddpm.size_distribution.raw_histogram).tolist()
                 save_checkpoint(self.ckpt_dir, state, cfg_dict, name="last")
                 if val_loss < self.best_val:
                     self.best_val = val_loss

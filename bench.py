@@ -6,12 +6,15 @@ T=500 denoising steps of the full-atom crossdock-sized conditional model
 the 3rfm A:330 example pocket (286 heavy atoms), batch of ligands sampled
 per pocket.  Metric: molecules generated per second per chip.
 
-``vs_baseline`` compares against the PyTorch reference on A100 measured via
-test.py's time-per-pocket machinery; the repo stores no number (BASELINE.md),
-so we use 0.5 mol/s — a generous estimate for batch-120 sampling at T=500 on
-A100 (the paper reports minutes per 100-molecule pocket).
+``vs_baseline`` compares against the PyTorch reference on A100.  The repo
+stores no number (BASELINE.md), so the baseline is anchored to a MEASURED
+run of the reference sampler on this host (benchmarks/measure_reference_cpu.py,
+recorded in BASELINE.json 'measured'): 0.00381 mol/s on the single CPU core,
+scaled by a documented assumed 130x single-core-CPU->A100 factor to
+0.5 mol/s.  The raw measured CPU anchor and the ratio against it are also
+emitted so the one assumption stays visible.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -21,7 +24,21 @@ from pathlib import Path
 
 import numpy as np
 
-TORCH_A100_BASELINE_MOL_PER_SEC = 0.5
+
+def _load_baseline():
+    """Measured CPU anchor + derived A100 estimate from BASELINE.json."""
+    try:
+        data = json.loads(
+            (Path(__file__).resolve().parent / "BASELINE.json").read_text())
+        measured = data["measured"]["reference_cpu"]["value"]
+        a100 = data["measured"]["a100_baseline_estimate"]["value"]
+        return measured, a100
+    except Exception:
+        return 0.00381, 0.5
+
+
+TORCH_CPU_MEASURED_MOL_PER_SEC, TORCH_A100_BASELINE_MOL_PER_SEC = \
+    _load_baseline()
 
 EXAMPLE_PDB = Path("/root/reference/example/3rfm.pdb")
 
@@ -65,29 +82,14 @@ def _enable_compilation_cache():
         pass
 
 
-def main():
+def _bench_batch(module, params, batch, T, n_lig, repeats):
+    """Median-of-N timing at one batch size, plus a stage breakdown."""
     import jax
     import jax.numpy as jnp
 
-    _enable_compilation_cache()
-
-    from __graft_entry__ import _flagship_module
     from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
 
-    T = 500
-    batch = 32
-    n_lig = 24
-
-    # fused Pallas EGNN kernels at strict float32 MXU precision: measured
-    # 57 ms/step (vs 92 ms dense-XLA@tensorfloat32, 84 ms/step@float32) with
-    # 2e-5 max deviation from CPU f32 — faster AND exact.  Sub-tile cutoff
-    # skipping provides most of the win on the ~38%-dense pocket adjacency.
-    cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
-                                   matmul_precision="float32",
-                                   egnn_impl="pallas")
-    params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
     pocket = get_pocket(module, batch)
-
     rng_np = np.random.default_rng(0)
     num_nodes = module.ddpm.size_distribution.sample_conditional(
         n2=np.asarray(pocket["size"]), rng=rng_np)
@@ -96,7 +98,7 @@ def main():
 
     # segmented dispatch: identical chain, but each device dispatch stays
     # short (the tunnel enforces per-execution limits); overhead is a few ms
-    def sample(params, key):
+    def sample(key):
         return module.ddpm.sample_given_pocket_segmented(
             params, key, pocket, lig_mask, timesteps=T, segment=50)
 
@@ -107,22 +109,103 @@ def main():
         segment=50)
     jax.block_until_ready(warm)
 
-    # best-of-2: the shared chip shows ~±20% run-to-run variance
     times = []
-    for i in range(2):
+    for i in range(repeats):
         t0 = time.perf_counter()
-        out = sample(params, jax.random.PRNGKey(2 + i))
+        out = sample(jax.random.PRNGKey(2 + i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = float(np.median(times))
 
-    mols_per_sec = batch / dt
+    # stage breakdown: one 50-step eps-net segment, then the terminal decode
+    ddpm = module.ddpm
+    _, npocket = ddpm.normalize(pocket=pocket)
+    z_lig, xh_pkt = ddpm._prior_sample(
+        jax.random.PRNGKey(3), npocket, lig_mask)
+    seg = lambda: ddpm._denoise_segment(
+        params, jax.random.PRNGKey(4), z_lig, xh_pkt, lig_mask,
+        npocket["mask"], jnp.asarray(T - 1, jnp.float32), n_steps=50,
+        timesteps=T)
+    jax.block_until_ready(seg())
+    t0 = time.perf_counter()
+    jax.block_until_ready(seg())
+    seg_dt = time.perf_counter() - t0
+    dec = lambda: ddpm.sample_p_xh_given_z0(
+        params, jax.random.PRNGKey(5), z_lig, xh_pkt, lig_mask,
+        npocket["mask"])
+    jax.block_until_ready(dec())
+    t0 = time.perf_counter()
+    jax.block_until_ready(dec())
+    dec_dt = time.perf_counter() - t0
+
+    return {
+        "batch": batch,
+        "mol_per_sec": batch / dt,
+        "wall_s_median": round(dt, 2),
+        "wall_s_all": [round(t, 2) for t in times],
+        "ms_per_step": round(dt / T * 1e3, 2),
+        "ms_per_step_epsnet": round(seg_dt / 50 * 1e3, 2),
+        "ms_decode": round(dec_dt * 1e3, 2),
+        "ms_host_overhead_per_step": round(
+            (dt - seg_dt * (T / 50) - dec_dt) / T * 1e3, 2),
+    }
+
+
+def main():
+    import os
+
+    import jax
+
+    _enable_compilation_cache()
+
+    from __graft_entry__ import _flagship_module
+
+    T = 500
+    n_lig = 24
+    batches = (32, 8)
+    impl = "pallas"
+    # harness smoke mode (CPU-runnable, tiny schedule): validates the bench
+    # plumbing without a TPU; the driver runs the full configuration
+    smoke = os.environ.get("DIFFSBDD_BENCH_SMOKE") == "1"
+    if smoke:
+        T, batches, impl = 10, (4, 2), "xla"
+
+    # fused Pallas EGNN kernels at strict float32 MXU precision: measured
+    # 57 ms/step (vs 92 ms dense-XLA@tensorfloat32, 84 ms/step@float32) with
+    # 2e-5 max deviation from CPU f32 — faster AND exact.  Sub-tile cutoff
+    # skipping provides most of the win on the ~38%-dense pocket adjacency.
+    cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
+                                   matmul_precision="float32",
+                                   egnn_impl=impl)
+    params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
+
+    main_run = _bench_batch(module, params, batch=batches[0], T=T,
+                            n_lig=n_lig, repeats=3)
+    try:
+        alt_run = _bench_batch(module, params, batch=batches[1], T=T,
+                               n_lig=n_lig, repeats=1)
+    except Exception as e:  # secondary data point must not sink the bench
+        alt_run = {"batch": batches[1],
+                   "error": f"{type(e).__name__}: {e}"[:200]}
+
+    mols_per_sec = main_run["mol_per_sec"]
     result = {
         "metric": "molecules_per_sec_per_chip_T500",
         "value": round(mols_per_sec, 4),
         "unit": "mol/s",
         "vs_baseline": round(mols_per_sec / TORCH_A100_BASELINE_MOL_PER_SEC, 3),
+        "vs_measured_cpu_reference": round(
+            mols_per_sec / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
+        "baseline_note": "A100 baseline 0.5 mol/s = measured single-core CPU "
+                         "reference (0.00381 mol/s, BASELINE.json) x assumed "
+                         "130x CPU->A100 factor",
+        "runs": {f"b{batches[0]}": {
+                     k: round(v, 4) if isinstance(v, float) else v
+                     for k, v in main_run.items()},
+                 f"b{batches[1]}": alt_run},
     }
+    if smoke:
+        result["smoke_mode"] = True
     print(json.dumps(result))
 
 

@@ -102,18 +102,25 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
         return module.ddpm.sample_given_pocket_segmented(
             params, key, pocket, lig_mask, timesteps=T, segment=50)
 
+    def sync(out):
+        # jax.block_until_ready does NOT wait for device completion through
+        # this host's TPU tunnel (measured: 30 chained 4k matmuls "ready" in
+        # 3.7 ms, compute surfacing only on transfer) — a host transfer is
+        # the only true synchronization point
+        return float(jnp.sum(out[0]))
+
     # compile + warmup at a short schedule: the T=500 run reuses the same
     # compiled 50-step segment + decode functions
     warm = module.ddpm.sample_given_pocket_segmented(
         params, jax.random.PRNGKey(1), pocket, lig_mask, timesteps=100,
         segment=50)
-    jax.block_until_ready(warm)
+    sync(warm)
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         out = sample(jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
@@ -126,16 +133,16 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
         params, jax.random.PRNGKey(4), z_lig, xh_pkt, lig_mask,
         npocket["mask"], jnp.asarray(T - 1, jnp.float32), n_steps=50,
         timesteps=T)
-    jax.block_until_ready(seg())
+    sync(seg())
     t0 = time.perf_counter()
-    jax.block_until_ready(seg())
+    sync(seg())
     seg_dt = time.perf_counter() - t0
     dec = lambda: ddpm.sample_p_xh_given_z0(
         params, jax.random.PRNGKey(5), z_lig, xh_pkt, lig_mask,
         npocket["mask"])
-    jax.block_until_ready(dec())
+    sync(dec())
     t0 = time.perf_counter()
-    jax.block_until_ready(dec())
+    sync(dec())
     dec_dt = time.perf_counter() - t0
 
     return {
@@ -170,12 +177,14 @@ def main():
     if smoke:
         T, batches, impl = 10, (4, 2), "xla"
 
-    # fused Pallas EGNN kernels at strict float32 MXU precision: measured
-    # 57 ms/step (vs 92 ms dense-XLA@tensorfloat32, 84 ms/step@float32) with
-    # 2e-5 max deviation from CPU f32 — faster AND exact.  Sub-tile cutoff
-    # skipping provides most of the win on the ~38%-dense pocket adjacency.
+    # fused Pallas EGNN kernels; 'float32_x3' keeps the XLA glue at exact
+    # f32 and runs the kernels' pair-MLP dots as 3-pass bf16 splits: measured
+    # 44 ms/step vs 61 ms at strict f32 (B=8, real pocket), with 3.8e-6 max
+    # eps deviation on outputs of scale 2.65 — effectively exact.  Sub-tile
+    # cutoff skipping provides most of the win on the ~40%-active (at 16x32
+    # blocks) pocket adjacency.
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
-                                   matmul_precision="float32",
+                                   matmul_precision="float32_x3",
                                    egnn_impl=impl)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 

@@ -117,7 +117,12 @@ class EGNNDynamics(nn.Module):
 
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
-        with jax.default_matmul_precision(self.matmul_precision):
+        # 'float32_x3': exact f32 for the XLA glue, 3-pass bf16-split dots
+        # inside the Pallas kernels (fp32-grade except extreme cancellation,
+        # half the MXU passes of HIGHEST)
+        ambient = {"float32_x3": "float32"}.get(
+            self.matmul_precision, self.matmul_precision)
+        with jax.default_matmul_precision(ambient):
             return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt)
 
     def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 # (tile_i, tile_j, F) temporaries Mosaic allocates (measured on v5e).
 TILE_I = 16
 TILE_J = 128
+SUB_J = 32  # column granularity of cutoff-sparsity skipping inside a tile
 
 
 def _silu(x):
@@ -94,13 +95,35 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
 
 
 # in-kernel MXU precision by policy name (the edge features are computed
-# elementwise and are always exact; only the hidden-layer dots vary)
+# elementwise and are always exact; only the hidden-layer dots vary).
+# Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass bf16 = exact
+# f32) dots; "tensorfloat32" is implemented as a manual 3-pass bf16 split
+# (drop the lo*lo term), which is *better* than tf32 — fp32-grade except
+# under extreme cancellation — at half the MXU passes of HIGHEST.
 _PRECISIONS = {
-    "float32": jax.lax.Precision.HIGHEST,       # exact (2e-5 vs CPU, measured)
-    # Mosaic supports only DEFAULT/HIGHEST dots; map tf32 to exact
-    "tensorfloat32": jax.lax.Precision.HIGHEST,
-    "bfloat16": jax.lax.Precision.DEFAULT,      # ~0.4 on large activations
+    "float32": jax.lax.Precision.HIGHEST,      # exact (3e-8 vs XLA f32, meas.)
+    "float32_x3": "bf16_3x",                   # kernel dots split; glue f32
+    "tensorfloat32": "bf16_3x",                # manual split, see _dot
+    "bfloat16": jax.lax.Precision.DEFAULT,     # 1-pass; fastest, ~3e-3 rel
 }
+
+
+def _dot(m, w, mxu):
+    if mxu == "bf16_3x":
+        # precision must be explicit: an ambient default_matmul_precision
+        # (e.g. 'tensorfloat32' -> HIGH) is not lowerable by Mosaic
+        dflt = jax.lax.Precision.DEFAULT
+        m_hi = m.astype(jnp.bfloat16)
+        m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(m_hi, w_hi, preferred_element_type=jnp.float32,
+                      precision=dflt)
+        acc = acc + jnp.dot(m_hi, w_lo, preferred_element_type=jnp.float32,
+                            precision=dflt)
+        return acc + jnp.dot(m_lo, w_hi, preferred_element_type=jnp.float32,
+                             precision=dflt)
+    return jnp.dot(m, w, preferred_element_type=jnp.float32, precision=mxu)
 
 
 def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
@@ -111,12 +134,10 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
     pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
         d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     m = _silu(pre).reshape(ti * tj, -1)
-    m = _silu(jnp.dot(m, w2, preferred_element_type=jnp.float32,
-                      precision=mxu) + b2)
+    m = _silu(_dot(m, w2, mxu) + b2)
     if w3 is None:
         return m
-    return jnp.dot(m, w3, preferred_element_type=jnp.float32,
-                   precision=mxu).reshape(ti, tj)
+    return _dot(m, w3, mxu).reshape(ti, tj)
 
 
 # ---------------------------------------------------------------------------
@@ -162,11 +183,8 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                               wd2_ref[0], wd20_ref[0], type_bias,
                               w2_ref[:], b2_ref[0], None, mxu)
                 if attention:
-                    att = jax.nn.sigmoid(
-                        jnp.dot(m, watt_ref[:],
-                                preferred_element_type=jnp.float32,
-                                precision=mxu)
-                        + batt_ref[0])
+                    att = jax.nn.sigmoid(_dot(m, watt_ref[:], mxu)
+                                         + batt_ref[0])
                     m = m * att
                 m = m.reshape(ti, sl.stop - sl.start, -1)
                 adj_s = adj[:, sl]
@@ -194,7 +212,7 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
 def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
-        tile_i=TILE_I, tile_j=TILE_J, mxu_precision="float32",
+        tile_i=TILE_I, tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
         interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
@@ -215,7 +233,7 @@ def gcl_message_agg_pallas(
     kernel = _make_gcl_kernel(
         n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
         attention=attention, has_type_bias=has_type_bias,
-        normalization_factor=normalization_factor,
+        normalization_factor=normalization_factor, sub_j=sub_j,
         mxu=_PRECISIONS[mxu_precision])
 
     full = lambda b, i: (b, 0, 0)
@@ -367,7 +385,7 @@ def coord_update_agg_pallas(
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
         cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
-        mxu_precision="float32", interpret=False):
+        sub_j=SUB_J, mxu_precision="float32", interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
     ``cross``: optional dict with the cross-product MLP pieces
@@ -386,7 +404,7 @@ def coord_update_agg_pallas(
         has_type_bias=has_type_bias,
         tanh=tanh, coords_range=coords_range,
         reflection_equiv=reflection_equiv, norm_constant=norm_constant,
-        normalization_factor=normalization_factor,
+        normalization_factor=normalization_factor, sub_j=sub_j,
         mxu=_PRECISIONS[mxu_precision])
 
     full = lambda b, i: (b, 0, 0)

@@ -26,6 +26,7 @@ from diffsbdd_tpu.diffusion.ddpm import (ConditionalDDPM, JointDDPM,
                                          num_nodes_to_mask)
 from diffsbdd_tpu.diffusion.size_prior import SizeDistribution
 from diffsbdd_tpu.models.dynamics import EGNNDynamics
+from diffsbdd_tpu.train.augment import augment_batch
 from diffsbdd_tpu.train.lj import WeightSchedule, lj_potential
 
 DDPM_MODELS = {
@@ -54,6 +55,8 @@ class LigandPocketDDPM:
         egnn_impl: str = "auto",
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
+        augment_noise: float = 0.0,
+        augment_rotation: bool = False,
     ):
         assert mode in DDPM_MODELS
         assert pocket_representation in {"CA", "full-atom"}
@@ -64,6 +67,8 @@ class LigandPocketDDPM:
         self.T = diffusion_params.diffusion_steps
         self.loss_type = diffusion_params.diffusion_loss_type
         self.virtual_nodes = virtual_nodes
+        self.augment_noise = float(augment_noise or 0.0)
+        self.augment_rotation = bool(augment_rotation)
         self.n_lig_max = n_lig_max
         self.n_pocket_max = n_pocket_max
         self.lig_bucket = lig_bucket
@@ -177,6 +182,13 @@ class LigandPocketDDPM:
                 training: bool = True):
         """Scalar loss + metrics dict; exactly the weighting of
         lightning_modules.py:236-302."""
+        if training and (self.augment_noise > 0 or self.augment_rotation):
+            # functional implementation of the reference's augmentation
+            # options (lightning_modules.py:338-347, stubs there)
+            rng, k_aug = jax.random.split(rng)
+            ligand, pocket = augment_batch(
+                k_aug, ligand, pocket, self.augment_noise,
+                self.augment_rotation)
         terms = self.ddpm.loss_terms(params, rng, ligand, pocket, training)
         info = dict(terms.pop("info"))
 
@@ -437,4 +449,6 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
+        augment_noise=cfg.get("augment_noise", 0.0),
+        augment_rotation=cfg.get("augment_rotation", False),
     )

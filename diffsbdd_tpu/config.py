@@ -59,6 +59,7 @@ _DEFAULTS: Dict[str, Any] = {
     "augment_rotation": False,
     "augment_noise": 0,
     "accumulate_grad_batches": 1,
+    "log_every_n_steps": 1,
     "auxiliary_loss": False,
     "eval_epochs": 50,
     "visualize_sample_epoch": 50,

@@ -137,8 +137,10 @@ def _dataset(atom_decoder, aa_decoder, atom_hist, aa_hist, colors):
         "atom_decoder": list(atom_decoder),
         "aa_encoder": {a: i for i, a in enumerate(aa_decoder)},
         "aa_decoder": list(aa_decoder),
+        # radius list tracks the color list (reference keeps 11 entries for
+        # bindingmoad although only 10 atom types exist, constants.py:101-102)
         "colors_dic": colors,
-        "radius_dic": [0.3] * len(atom_decoder),
+        "radius_dic": [0.3] * len(colors),
         "bonds1": build_bond_matrix(atom_decoder, BONDS1),
         "bonds2": build_bond_matrix(atom_decoder, BONDS2),
         "bonds3": build_bond_matrix(atom_decoder, BONDS3),

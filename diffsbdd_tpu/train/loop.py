@@ -239,6 +239,11 @@ class Trainer:
             accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1))
         self.eval_step = make_eval_step(module)
         self.best_val = float("inf")
+        # per-step metric logging of every loss term, like the reference's
+        # self.log_metrics(info, 'train') each training_step
+        # (lightning_modules.py:333-335); interval configurable to bound
+        # host<->device sync cost on TPU
+        self.log_every_n_steps = int(cfg.get("log_every_n_steps", 1))
         self.ckpt_dir = Path(cfg.logdir) / cfg.run_name / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
 
@@ -256,7 +261,9 @@ class Trainer:
                 ligand = shard_batch(batch["ligand"], self.mesh)
                 pocket = shard_batch(batch["pocket"], self.mesh)
                 state, info = self.train_step(state, step_rng, ligand, pocket)
-            self.log(info, "train", int(state.step))
+                step = int(state.step)
+                if step % self.log_every_n_steps == 0:
+                    self.log(jax.device_get(info), "train", step)
 
             if (epoch + 1) % eval_every == 0 and self.val_loader is not None:
                 val_losses = []

@@ -211,3 +211,38 @@ def test_gradient_accumulation(module_and_params):
         lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
         state.params, new_acc.params)
     assert any(jax.tree.leaves(changed))
+
+
+def test_trainer_logs_every_step(tmp_path, module_and_params):
+    """Per-step metric logging of every loss term, matching the reference's
+    self.log of the full info dict each training_step
+    (lightning_modules.py:333-335)."""
+    cfg, module, params = module_and_params
+    cfg = tiny_config(logdir=str(tmp_path), run_name="logtest",
+                      batch_size=B, log_every_n_steps=1)
+
+    class RecordingLogger:
+        def __init__(self):
+            self.records = []
+
+        def log(self, metrics, step):
+            self.records.append((step, dict(metrics)))
+
+    batches = []
+    for seed in range(3):
+        ligand, pocket = make_batch(jax.random.PRNGKey(seed), module)
+        batches.append({"ligand": ligand, "pocket": pocket})
+
+    logger = RecordingLogger()
+    trainer = Trainer(module, cfg, train_loader=batches, val_loader=None,
+                      logger=logger)
+    state = create_train_state(params, lr=cfg.lr)
+    trainer.fit(state, jax.random.PRNGKey(5), n_epochs=2)
+
+    train_records = [(s, m) for s, m in logger.records
+                     if any(k.endswith("/train") for k in m)]
+    assert [s for s, _ in train_records] == [1, 2, 3, 4, 5, 6]
+    for _, metrics in train_records:
+        for term in ("loss", "error_t_lig", "error_t_pocket", "kl_prior",
+                     "loss_0", "SNR_weight", "log_pN", "grad_norm"):
+            assert f"{term}/train" in metrics, term

@@ -127,3 +127,75 @@ def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
             out_mols.extend(read_sdf(out_sdf)[:1])
 
     return (scores, out_mols) if return_mols else scores
+
+
+# ---------------------------------------------------------------------------
+# batch-scoring CLI (reference analysis/docking.py:133-197)
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    """Walk a directory of generated SDFs, QuickVina2-score each against its
+    receptor, and write ``qvina2_scores.csv`` (+ optional results pickle).
+
+    File-name convention matches the reference: for ``--dataset moad``
+    ligand files are ``<receptor>_<pocket>_<suffix>.sdf`` with the receptor
+    at ``<pdbqt_dir>/<receptor>.pdbqt``; for ``--dataset crossdocked`` the
+    receptor name is the ligand stem minus its last 4 characters.
+    """
+    import argparse
+    import pickle
+
+    parser = argparse.ArgumentParser("QuickVina evaluation")
+    parser.add_argument("--pdbqt_dir", type=Path, required=True,
+                        help="Receptor files in pdbqt format")
+    parser.add_argument("--sdf_dir", type=Path, default=None,
+                        help="Ligand files in sdf format")
+    parser.add_argument("--sdf_files", type=Path, nargs="+", default=None)
+    parser.add_argument("--out_dir", type=Path, required=True)
+    parser.add_argument("--write_csv", action="store_true")
+    parser.add_argument("--write_dict", action="store_true")
+    parser.add_argument("--dataset", type=str, default="moad",
+                        choices=["moad", "crossdocked"])
+    args = parser.parse_args(argv)
+
+    assert (args.sdf_dir is not None) ^ (args.sdf_files is not None), \
+        "give exactly one of --sdf_dir / --sdf_files"
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+
+    results = {"receptor": [], "ligand": [], "scores": []}
+    results_dict = {}
+    sdf_files = sorted(args.sdf_dir.glob("[!.]*.sdf")) \
+        if args.sdf_dir is not None else args.sdf_files
+    for sdf_file in sdf_files:
+        ligand_name = sdf_file.stem
+        if args.dataset == "moad":
+            receptor_name = ligand_name.split("_")[0]
+        else:  # crossdocked: strip the '_gen'-style 4-char suffix
+            receptor_name = ligand_name[:-4]
+        receptor_file = Path(args.pdbqt_dir, receptor_name + ".pdbqt")
+
+        scores, mols = calculate_qvina2_score(
+            receptor_file, sdf_file, args.out_dir, return_mols=True)
+        print(f"{ligand_name}: {scores}")
+        results["receptor"].append(str(receptor_file))
+        results["ligand"].append(str(sdf_file))
+        results["scores"].append(scores)
+        if args.write_dict:
+            results_dict[ligand_name] = {
+                "receptor": str(receptor_file), "ligand": str(sdf_file),
+                "scores": scores, "mols": mols,
+            }
+
+    if args.write_csv:
+        import pandas as pd
+        pd.DataFrame.from_dict(results).to_csv(
+            Path(args.out_dir, "qvina2_scores.csv"))
+    if args.write_dict:
+        # plain pickle instead of the reference's torch.save container
+        with open(Path(args.out_dir, "qvina2_scores.pkl"), "wb") as f:
+            pickle.dump(results_dict, f)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Docking wrappers + batch-scoring CLI, dry-run with stubbed binaries.
+
+The external binaries (qvina2.1, obabel, smina.static) are not present in
+this environment; these tests install tiny shell-script stand-ins on PATH
+that emit byte-plausible output, which exercises every line of our parsing,
+file-walking, and CSV/pickle writing (reference analysis/docking.py:133-197).
+"""
+import os
+import pickle
+import stat
+import sys
+
+import numpy as np
+import pytest
+
+from diffsbdd_tpu.chem import docking
+from diffsbdd_tpu.chem.molecule import SimpleMol
+from diffsbdd_tpu.chem.sdfio import write_sdf_file
+
+QVINA_STUB = """#!/bin/sh
+# echo a plausible QuickVina2 result table; score derived from center_x so
+# different ligands get different scores
+cx=0
+while [ $# -gt 0 ]; do
+  if [ "$1" = "--center_x" ]; then cx=$2; fi
+  shift
+done
+echo "-----+------------+----------+----------"
+echo "   1       -$(echo $cx | tr -d '-.' | cut -c1).5      0.000      0.000"
+"""
+
+OBABEL_STUB = """#!/bin/sh
+# write a dummy output file at the -O argument
+out=""
+while [ $# -gt 0 ]; do
+  if [ "$1" = "-O" ]; then out=$2; fi
+  shift
+done
+[ -n "$out" ] && echo "REMARK stub" > "$out"
+"""
+
+SMINA_STUB = """#!/bin/sh
+echo "Affinity: -7.31415 (kcal/mol)"
+echo "Affinity: -5.00000 (kcal/mol)"
+"""
+
+
+@pytest.fixture
+def stub_binaries(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, body in [("qvina2.1", QVINA_STUB), ("obabel", OBABEL_STUB),
+                       ("smina.static", SMINA_STUB)]:
+        p = bindir / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+    return bindir
+
+
+def _mol(seed=0, n=5):
+    rng = np.random.default_rng(seed)
+    coords = rng.normal(size=(n, 3)).astype(np.float32) + 10 * seed
+    bonds = [(i, i + 1, 1) for i in range(n - 1)]
+    return SimpleMol(symbols=["C"] * n, coords=coords, bonds=bonds,
+                     name=f"mol{seed}")
+
+
+def test_smina_score_parses_affinities(stub_binaries, tmp_path):
+    rec = tmp_path / "rec.pdb"
+    rec.write_text("END\n")
+    scores = docking.smina_score([_mol(0), _mol(1)], str(rec))
+    assert scores == [-7.31415, -5.0]
+
+
+def test_qvina2_score_single_sdf(stub_binaries, tmp_path):
+    sdf = tmp_path / "lig.sdf"
+    write_sdf_file(sdf, [_mol(1), _mol(2)])
+    rec = tmp_path / "rec.pdbqt"
+    rec.write_text("REMARK receptor\n")
+    scores = docking.calculate_qvina2_score(rec, sdf, tmp_path / "out")
+    assert len(scores) == 2
+    assert all(np.isfinite(s) and s < 0 for s in scores)
+
+
+def test_batch_cli_moad_layout(stub_binaries, tmp_path):
+    """CLI walks the sdf dir, maps <receptor>_<pocket>_<suffix>.sdf to its
+    pdbqt, and writes qvina2_scores.csv + the results pickle."""
+    pdbqt_dir = tmp_path / "receptors"
+    sdf_dir = tmp_path / "sdfs"
+    out_dir = tmp_path / "out"
+    pdbqt_dir.mkdir()
+    sdf_dir.mkdir()
+    for rec in ("1abc-bio1", "2xyz-bio1"):
+        (pdbqt_dir / f"{rec}.pdbqt").write_text("REMARK receptor\n")
+    write_sdf_file(sdf_dir / "1abc-bio1_pocket0_gen.sdf", [_mol(1)])
+    write_sdf_file(sdf_dir / "2xyz-bio1_pocket3_gen.sdf", [_mol(2), _mol(3)])
+
+    results = docking.main([
+        "--pdbqt_dir", str(pdbqt_dir), "--sdf_dir", str(sdf_dir),
+        "--out_dir", str(out_dir), "--write_csv", "--write_dict",
+        "--dataset", "moad"])
+
+    assert len(results["ligand"]) == 2
+    assert results["receptor"][0].endswith("1abc-bio1.pdbqt")
+    assert len(results["scores"][1]) == 2
+
+    csv = (out_dir / "qvina2_scores.csv").read_text()
+    assert "1abc-bio1_pocket0_gen" in csv and "2xyz-bio1" in csv
+
+    with open(out_dir / "qvina2_scores.pkl", "rb") as f:
+        d = pickle.load(f)
+    assert set(d) == {"1abc-bio1_pocket0_gen", "2xyz-bio1_pocket3_gen"}
+    assert all(np.isfinite(s) for s in d["2xyz-bio1_pocket3_gen"]["scores"])
+
+
+def test_batch_cli_crossdocked_layout(stub_binaries, tmp_path):
+    pdbqt_dir = tmp_path / "receptors"
+    sdf_dir = tmp_path / "sdfs"
+    pdbqt_dir.mkdir()
+    sdf_dir.mkdir()
+    (pdbqt_dir / "pocketA.pdbqt").write_text("REMARK receptor\n")
+    write_sdf_file(sdf_dir / "pocketA_gen.sdf", [_mol(4)])
+
+    results = docking.main([
+        "--pdbqt_dir", str(pdbqt_dir), "--sdf_dir", str(sdf_dir),
+        "--out_dir", str(tmp_path / "out"), "--dataset", "crossdocked"])
+    assert results["receptor"] == [str(pdbqt_dir / "pocketA.pdbqt")]
+
+
+def test_missing_binary_raises_clearly(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", str(tmp_path))  # empty PATH
+    with pytest.raises(FileNotFoundError, match="qvina2.1"):
+        docking.calculate_qvina2_score(tmp_path / "r.pdbqt",
+                                       tmp_path / "l.sdf", tmp_path)

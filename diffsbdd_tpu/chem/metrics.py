@@ -155,18 +155,22 @@ class MoleculeProperties:
             from rdkit import Chem
             Chem.SanitizeMol(rd)
             return QED.qed(rd)
-        return float("nan")
+        # dependency-free approximation with the published QED desirability
+        # functions (see chem/descriptors.py) — never NaN
+        from diffsbdd_tpu.chem.descriptors import qed_score
+        return qed_score(mol)
 
     @staticmethod
     def calculate_sa(mol) -> float:
+        from diffsbdd_tpu.chem.sascore import calculate_score
         if HAVE_RDKIT:
-            from diffsbdd_tpu.chem.sascore import calculate_score
             rd = mol.to_rdkit() if isinstance(mol, SimpleMol) else mol
             from rdkit import Chem
             Chem.SanitizeMol(rd)
             sa = calculate_score(rd)
-            return round((10 - sa) / 9, 2)  # pocket2mol rescaling
-        return float("nan")
+        else:
+            sa = calculate_score(mol)  # Ertl-style fallback scorer
+        return round((10 - sa) / 9, 2)  # pocket2mol rescaling
 
     @staticmethod
     def calculate_logp(mol) -> float:
@@ -176,32 +180,18 @@ class MoleculeProperties:
             rd = mol.to_rdkit() if isinstance(mol, SimpleMol) else mol
             Chem.SanitizeMol(rd)
             return Crippen.MolLogP(rd)
-        return float("nan")
+        from diffsbdd_tpu.chem.descriptors import logp_estimate
+        return logp_estimate(mol)
 
     @staticmethod
     def molecular_weight(mol: SimpleMol) -> float:
-        return sum(ATOMIC_MASS.get(s, 0.0) for s in mol.symbols)
+        from diffsbdd_tpu.chem.descriptors import molecular_weight
+        return molecular_weight(mol)  # includes implicit hydrogens
 
     @staticmethod
     def _rotatable_bonds(mol: SimpleMol) -> int:
-        """Single bonds between non-terminal heavy atoms, outside rings."""
-        import networkx as nx
-        g = nx.Graph()
-        g.add_nodes_from(range(mol.n_atoms))
-        g.add_edges_from([(i, j) for i, j, _ in mol.bonds])
-        ring_edges = set()
-        for cyc in nx.cycle_basis(g):
-            for k in range(len(cyc)):
-                e = frozenset((cyc[k], cyc[(k + 1) % len(cyc)]))
-                ring_edges.add(e)
-        deg = dict(g.degree)
-        count = 0
-        for i, j, o in mol.bonds:
-            if o != 1 or frozenset((i, j)) in ring_edges:
-                continue
-            if deg[i] > 1 and deg[j] > 1:
-                count += 1
-        return count
+        from diffsbdd_tpu.chem.descriptors import rotatable_bonds
+        return rotatable_bonds(mol)
 
     @classmethod
     def calculate_lipinski(cls, mol) -> float:

@@ -115,7 +115,14 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     random.seed(args.seed)
 
-    rows = [{"generation": 0, "score": objective(ref_mol), "fate": "initial",
+    ref_score = objective(ref_mol)
+    if not np.isfinite(ref_score):
+        raise RuntimeError(
+            f"objective '{args.objective}' returned {ref_score} for the "
+            f"reference ligand — refusing to run an optimization loop on a "
+            f"non-finite objective (check the metrics backend)")
+
+    rows = [{"generation": 0, "score": ref_score, "fate": "initial",
              "mol": ref_mol, "smiles": ref_mol.to_smiles()}]
     buffer = pd.DataFrame(rows)
 

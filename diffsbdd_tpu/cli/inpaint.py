@@ -103,10 +103,19 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
     com_before = (np.asarray(pocket["x"]) * pkt_m[..., None]).sum(1) \
         / pkt_m.sum(1)[..., None]
 
-    xh_lig, xh_pocket = module.ddpm.inpaint(
-        params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
-        center=center, resamplings=resamplings, timesteps=timesteps,
-        return_frames=frames)
+    if save_traj:
+        xh_lig, xh_pocket = module.ddpm.inpaint(
+            params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
+            center=center, resamplings=resamplings, timesteps=timesteps,
+            return_frames=frames)
+    else:
+        # segmented dispatch: identical trajectory, bounded per-dispatch
+        # execution (T x resamplings iterations would otherwise run as one
+        # monolithic device program)
+        xh_lig, xh_pocket = module.ddpm.inpaint_segmented(
+            params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
+            center=center, resamplings=resamplings, timesteps=timesteps,
+            segment=50)
 
     if save_traj:
         # treat intermediate frames as the batch axis (inpaint.py:152-162)

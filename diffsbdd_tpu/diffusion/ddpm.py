@@ -573,19 +573,12 @@ class JointDDPM(DDPMBase):
                 s -= 1
         return np.asarray(s_list, np.int32), np.asarray(jump_list, np.int32)
 
-    @partial(jax.jit, static_argnums=(0,),
-             static_argnames=("resamplings", "jump_length", "timesteps"))
-    def inpaint(self, params, rng, ligand: Batch, pocket: Batch,
-                lig_fixed: Array, pocket_fixed: Array,
-                resamplings: int = 1, jump_length: int = 1,
-                timesteps: Optional[int] = None):
-        """RePaint-style joint inpainting (en_diffusion.py:676-837).
-
-        ``lig_fixed``/``pocket_fixed`` are (B, N) {0,1} masks of clamped nodes.
-        """
-        timesteps = self.T if timesteps is None else timesteps
+    @partial(jax.jit, static_argnums=(0,))
+    def _joint_inpaint_prep(self, rng, ligand: Batch, pocket: Batch,
+                            lig_fixed: Array, pocket_fixed: Array):
+        """Normalize, center on the known-part CoM, and draw the prior —
+        shared by the monolithic and segmented inpaint drivers."""
         ligand, pocket = self.normalize(ligand, pocket)
-        B = ligand["x"].shape[0]
         nd = self.n_dims
         m_l, m_p = ligand["mask"], pocket["mask"]
 
@@ -604,58 +597,65 @@ class JointDDPM(DDPMBase):
         k_init, k_scan, k_final = jax.random.split(rng, 3)
         z_lig, z_pkt = self.sample_combined_noise(
             k_init, {"mask": m_l}, {"mask": m_p})
+        ctx = dict(ligand=ligand, pocket=pocket, xh0_lig=xh0_lig,
+                   xh0_pkt=xh0_pkt, lig_fixed=lig_fixed,
+                   pocket_fixed=pocket_fixed, fixed_l=fixed_l,
+                   fixed_p=fixed_p, count=count)
+        return ctx, z_lig, z_pkt, k_scan, k_final
 
-        s_arr_np, jump_np = self._repaint_plan(resamplings, jump_length, timesteps)
+    def _joint_repaint_body(self, params, k_scan, ctx, timesteps: int,
+                            z_lig, z_pkt, s, jump, it):
+        """One RePaint iteration at level ``s`` (en_diffusion.py:690-760)."""
+        nd = self.n_dims
+        ligand, pocket = ctx["ligand"], ctx["pocket"]
+        m_l, m_p = ligand["mask"], pocket["mask"]
+        lig_fixed, pocket_fixed = ctx["lig_fixed"], ctx["pocket_fixed"]
+        fixed_l, fixed_p, count = ctx["fixed_l"], ctx["fixed_p"], ctx["count"]
+        B = m_l.shape[0]
 
         def fixed_com(zl, zp):
             tot = masked_sum(zl[..., :nd], fixed_l) + masked_sum(zp[..., :nd], fixed_p)
             return tot / jnp.maximum(count, 1e-12)[:, None]
 
-        def step(carry, inp):
-            z_lig, z_pkt = carry
-            s, jump, it = inp
-            # fold in the flat iteration index: with resamplings > 1 the same
-            # (s, jump) pair recurs across resampling rounds and must not
-            # reuse a PRNG key
-            key = jax.random.fold_in(k_scan, it)
-            k1, k2, k3 = jax.random.split(key, 3)
-            s_norm = jnp.full((B, 1), s, jnp.float32) / timesteps
-            t_norm = (jnp.full((B, 1), s, jnp.float32) + 1) / timesteps
-            gamma_s = self.gamma(params, s_norm)
+        # fold in the flat iteration index: with resamplings > 1 the same
+        # (s, jump) pair recurs across resampling rounds and must not
+        # reuse a PRNG key
+        key = jax.random.fold_in(k_scan, it)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s_norm = jnp.full((B, 1), s, jnp.float32) / timesteps
+        t_norm = (jnp.full((B, 1), s, jnp.float32) + 1) / timesteps
+        gamma_s = self.gamma(params, s_norm)
 
-            # known part re-noised to level s
-            zk_lig, zk_pkt, _, _ = self.noised_representation(
-                k1, xh0_lig, xh0_pkt, ligand, pocket, gamma_s)
-            # unknown part denoised one step
-            zu_lig, zu_pkt = self._denoise_step(
-                params, k2, z_lig, z_pkt, m_l, m_p, s_norm, t_norm)
+        # known part re-noised to level s
+        zk_lig, zk_pkt, _, _ = self.noised_representation(
+            k1, ctx["xh0_lig"], ctx["xh0_pkt"], ligand, pocket, gamma_s)
+        # unknown part denoised one step
+        zu_lig, zu_pkt = self._denoise_step(
+            params, k2, z_lig, z_pkt, m_l, m_p, s_norm, t_norm)
 
-            # align the CoM of the fixed nodes before combining
-            delta = fixed_com(zu_lig, zu_pkt) - fixed_com(zk_lig, zk_pkt)
-            zk_lig = zk_lig.at[..., :nd].add(delta[:, None, :] * m_l[..., None])
-            zk_pkt = zk_pkt.at[..., :nd].add(delta[:, None, :] * m_p[..., None])
+        # align the CoM of the fixed nodes before combining
+        delta = fixed_com(zu_lig, zu_pkt) - fixed_com(zk_lig, zk_pkt)
+        zk_lig = zk_lig.at[..., :nd].add(delta[:, None, :] * m_l[..., None])
+        zk_pkt = zk_pkt.at[..., :nd].add(delta[:, None, :] * m_p[..., None])
 
-            z_lig = zk_lig * lig_fixed[..., None] + zu_lig * (1 - lig_fixed[..., None])
-            z_pkt = zk_pkt * pocket_fixed[..., None] + zu_pkt * (1 - pocket_fixed[..., None])
-            z_lig = z_lig * m_l[..., None]
-            z_pkt = z_pkt * m_p[..., None]
+        z_lig = zk_lig * lig_fixed[..., None] + zu_lig * (1 - lig_fixed[..., None])
+        z_pkt = zk_pkt * pocket_fixed[..., None] + zu_pkt * (1 - pocket_fixed[..., None])
+        z_lig = z_lig * m_l[..., None]
+        z_pkt = z_pkt * m_p[..., None]
 
-            def jump_back(args):
-                zl, zp = args
-                t_jump = (jnp.full((B, 1), s, jnp.float32) + jump) / timesteps
-                gamma_t = self.gamma(params, t_jump)
-                return self._noise_step(params, k3, zl, zp, m_l, m_p,
-                                        gamma_t, gamma_s)
+        def jump_back(args):
+            zl, zp = args
+            t_jump = (jnp.full((B, 1), s, jnp.float32) + jump) / timesteps
+            gamma_t = self.gamma(params, t_jump)
+            return self._noise_step(params, k3, zl, zp, m_l, m_p,
+                                    gamma_t, gamma_s)
 
-            z_lig, z_pkt = jax.lax.cond(
-                jump > 0, jump_back, lambda a: a, (z_lig, z_pkt))
-            return (z_lig, z_pkt), None
+        return jax.lax.cond(jump > 0, jump_back, lambda a: a, (z_lig, z_pkt))
 
-        (z_lig, z_pkt), _ = jax.lax.scan(
-            step, (z_lig, z_pkt),
-            (jnp.asarray(s_arr_np), jnp.asarray(jump_np),
-             jnp.arange(len(s_arr_np), dtype=jnp.int32)))
-
+    @partial(jax.jit, static_argnums=(0,))
+    def _joint_inpaint_decode(self, params, k_final, ctx, z_lig, z_pkt):
+        m_l = ctx["ligand"]["mask"]
+        m_p = ctx["pocket"]["mask"]
         x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
             params, k_final, z_lig, z_pkt, m_l, m_p)
         x_lig, x_pkt = self.remove_mean(x_lig, x_pkt, m_l, m_p)
@@ -663,6 +663,77 @@ class JointDDPM(DDPMBase):
         x_pkt = x_pkt * m_p[..., None]
         return (jnp.concatenate([x_lig, h_lig], -1),
                 jnp.concatenate([x_pkt, h_pkt], -1))
+
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("resamplings", "jump_length", "timesteps"))
+    def inpaint(self, params, rng, ligand: Batch, pocket: Batch,
+                lig_fixed: Array, pocket_fixed: Array,
+                resamplings: int = 1, jump_length: int = 1,
+                timesteps: Optional[int] = None):
+        """RePaint-style joint inpainting (en_diffusion.py:676-837).
+
+        ``lig_fixed``/``pocket_fixed`` are (B, N) {0,1} masks of clamped nodes.
+        """
+        timesteps = self.T if timesteps is None else timesteps
+        ctx, z_lig, z_pkt, k_scan, k_final = self._joint_inpaint_prep(
+            rng, ligand, pocket, lig_fixed, pocket_fixed)
+
+        s_arr_np, jump_np = self._repaint_plan(resamplings, jump_length, timesteps)
+
+        def step(carry, inp):
+            s, jump, it = inp
+            carry = self._joint_repaint_body(
+                params, k_scan, ctx, timesteps, *carry, s, jump, it)
+            return carry, None
+
+        (z_lig, z_pkt), _ = jax.lax.scan(
+            step, (z_lig, z_pkt),
+            (jnp.asarray(s_arr_np), jnp.asarray(jump_np),
+             jnp.arange(len(s_arr_np), dtype=jnp.int32)))
+
+        return self._joint_inpaint_decode(params, k_final, ctx, z_lig, z_pkt)
+
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("timesteps",))
+    def _joint_inpaint_segment(self, params, k_scan, ctx, z_lig, z_pkt,
+                               s_arr, jump_arr, it_arr, timesteps: int):
+        def step(carry, inp):
+            s, jump, it = inp
+            carry = self._joint_repaint_body(
+                params, k_scan, ctx, timesteps, *carry, s, jump, it)
+            return carry, None
+
+        (z_lig, z_pkt), _ = jax.lax.scan(
+            step, (z_lig, z_pkt), (s_arr, jump_arr, it_arr))
+        return z_lig, z_pkt
+
+    def inpaint_segmented(self, params, rng, ligand: Batch, pocket: Batch,
+                          lig_fixed: Array, pocket_fixed: Array,
+                          resamplings: int = 1, jump_length: int = 1,
+                          timesteps: Optional[int] = None,
+                          segment: int = 100):
+        """``inpaint`` dispatched in ``segment``-iteration jitted chunks.
+
+        Bit-identical trajectory (same scan key, same per-iteration fold-in)
+        with host round-trips only between chunks, so a T=500 x R=20 RePaint
+        run never exceeds a device-execution watchdog (see
+        sample_given_pocket_segmented)."""
+        timesteps = self.T if timesteps is None else timesteps
+        ctx, z_lig, z_pkt, k_scan, k_final = self._joint_inpaint_prep(
+            rng, ligand, pocket, lig_fixed, pocket_fixed)
+        s_arr_np, jump_np = self._repaint_plan(resamplings, jump_length,
+                                               timesteps)
+        n_total = len(s_arr_np)
+        it0 = 0
+        while it0 < n_total:
+            n = min(segment, n_total - it0)
+            z_lig, z_pkt = self._joint_inpaint_segment(
+                params, k_scan, ctx, z_lig, z_pkt,
+                jnp.asarray(s_arr_np[it0:it0 + n]),
+                jnp.asarray(jump_np[it0:it0 + n]),
+                jnp.arange(it0, it0 + n, dtype=jnp.int32),
+                timesteps=timesteps)
+            it0 += n
+        return self._joint_inpaint_decode(params, k_final, ctx, z_lig, z_pkt)
 
 
 class ConditionalDDPM(DDPMBase):
@@ -1034,6 +1105,138 @@ class ConditionalDDPM(DDPMBase):
         return (jnp.concatenate([x_lig, h_lig], -1),
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("center",))
+    def _cond_inpaint_prep(self, rng, ligand: Batch, pocket: Batch,
+                           lig_fixed: Array, center: str = "ligand"):
+        """Normalize, center, and draw the conditional inpainting prior
+        (conditional_model.py:589-607); shared by both inpaint drivers."""
+        if center not in ("ligand", "pocket"):
+            raise NotImplementedError(f"centering option {center}")
+        ligand, pocket = self.normalize(ligand, pocket)
+        B = ligand["x"].shape[0]
+        nd = self.n_dims
+        m_l, m_p = ligand["mask"], pocket["mask"]
+        lf = lig_fixed * m_l
+
+        xh0_pkt = _xh(pocket)
+        com_pocket_0 = masked_mean(pocket["x"], m_p)
+        xh0_ligand = _xh(ligand)
+
+        if center == "ligand":
+            mean_known = masked_sum(ligand["x"], lf) / jnp.maximum(
+                jnp.sum(lf, 1), 1e-12)[:, None]
+        else:  # pocket
+            mean_known = com_pocket_0
+
+        # prior centered at the known part's CoM
+        NL = m_l.shape[1]
+        mu = jnp.concatenate(
+            [jnp.broadcast_to(mean_known[:, None, :], (B, NL, nd)),
+             jnp.zeros((B, NL, self.atom_nf))], axis=-1)
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        z_lig, xh_pkt = self.sample_normal_zero_com(
+            k_init, mu * m_l[..., None], xh0_pkt, jnp.ones((B, 1, 1)), m_l, m_p)
+        ctx = dict(ligand=ligand, m_p=m_p, lf=lf, lig_fixed=lig_fixed,
+                   xh0_ligand=xh0_ligand, com_pocket_0=com_pocket_0)
+        return ctx, z_lig, xh_pkt, k_scan, k_final
+
+    def _cond_repaint_body(self, params, k_scan, ctx, timesteps: int,
+                           resamplings: int, z_lig, xh_pkt, s, u):
+        """One conditional RePaint iteration (conditional_model.py:616-666).
+
+        Returns ((z_lig, xh_pkt), pre) where ``pre`` is the end-of-cycle
+        state before the optional re-noise (used for trajectory frames)."""
+        nd = self.n_dims
+        ligand = ctx["ligand"]
+        m_l, m_p = ligand["mask"], ctx["m_p"]
+        lf, lig_fixed = ctx["lf"], ctx["lig_fixed"]
+        B = m_l.shape[0]
+
+        key = jax.random.fold_in(k_scan, s * resamplings + u)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s_norm = jnp.full((B, 1), s, jnp.float32) / timesteps
+        t_norm = (jnp.full((B, 1), s, jnp.float32) + 1) / timesteps
+        gamma_s = self.gamma(params, s_norm)
+        gamma_t = self.gamma(params, t_norm)
+
+        # denoise the unknown part
+        z_unknown, xh_pkt = self._denoise_step(
+            params, k1, z_lig, xh_pkt, m_l, m_p, s_norm, t_norm)
+
+        # re-noise the known part in the current (translated) pocket frame
+        com_pocket = masked_mean(xh_pkt[..., :nd], m_p)
+        x_known = ligand["x"] + (com_pocket - ctx["com_pocket_0"])[:, None, :]
+        xh_ligand = jnp.concatenate(
+            [x_known * m_l[..., None], ctx["xh0_ligand"][..., nd:]], -1)
+        z_known, xh_pkt, _ = self.noised_representation(
+            k2, xh_ligand, xh_pkt, m_l, m_p, gamma_s)
+
+        # align CoM of the fixed nodes, shifting pocket along
+        denom = jnp.maximum(jnp.sum(lf, 1), 1e-12)[:, None]
+        com_noised = masked_sum(z_known[..., :nd], lf) / denom
+        com_denoised = masked_sum(z_unknown[..., :nd], lf) / denom
+        dx = com_denoised - com_noised
+        z_known = z_known.at[..., :nd].add(dx[:, None, :] * m_l[..., None])
+        xh_pkt = xh_pkt.at[..., :nd].add(dx[:, None, :] * m_p[..., None])
+
+        z_lig = z_known * lig_fixed[..., None] + z_unknown * (1 - lig_fixed[..., None])
+        z_lig = z_lig * m_l[..., None]
+
+        def renoise(args):
+            zl, xp = args
+            return self._noise_step(params, k3, zl, xp, m_l, m_p,
+                                    gamma_t, gamma_s)
+
+        pre = (z_lig, xh_pkt)
+        z_lig, xh_pkt = jax.lax.cond(
+            u < resamplings - 1, renoise, lambda a: a, (z_lig, xh_pkt))
+        return (z_lig, xh_pkt), pre
+
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("timesteps", "resamplings"))
+    def _cond_inpaint_segment(self, params, k_scan, ctx, z_lig, xh_pkt,
+                              s_arr, u_arr, timesteps: int, resamplings: int):
+        def step(carry, inp):
+            s, u = inp
+            carry, _ = self._cond_repaint_body(
+                params, k_scan, ctx, timesteps, resamplings, *carry, s, u)
+            return carry, None
+
+        (z_lig, xh_pkt), _ = jax.lax.scan(
+            step, (z_lig, xh_pkt), (s_arr, u_arr))
+        return z_lig, xh_pkt
+
+    def inpaint_segmented(self, params, rng, ligand: Batch, pocket: Batch,
+                          lig_fixed: Array, resamplings: int = 1,
+                          timesteps: Optional[int] = None,
+                          center: str = "ligand", segment: int = 100):
+        """``inpaint`` dispatched in ``segment``-iteration jitted chunks —
+        bit-identical trajectory (same per-iteration key fold-in), bounded
+        per-dispatch execution time.  Trajectory frames are not collected;
+        use the monolithic ``inpaint`` with ``return_frames`` for those."""
+        timesteps = self.T if timesteps is None else timesteps
+        ctx, z_lig, xh_pkt, k_scan, k_final = self._cond_inpaint_prep(
+            rng, ligand, pocket, lig_fixed, center=center)
+
+        s_seq = np.repeat(np.arange(timesteps - 1, -1, -1), resamplings)
+        u_seq = np.tile(np.arange(resamplings), timesteps)
+        n_total = len(s_seq)
+        it0 = 0
+        while it0 < n_total:
+            n = min(segment, n_total - it0)
+            z_lig, xh_pkt = self._cond_inpaint_segment(
+                params, k_scan, ctx, z_lig, xh_pkt,
+                jnp.asarray(s_seq[it0:it0 + n]),
+                jnp.asarray(u_seq[it0:it0 + n]),
+                timesteps=timesteps, resamplings=resamplings)
+            it0 += n
+
+        m_l, m_p = ctx["ligand"]["mask"], ctx["m_p"]
+        x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
+            params, k_final, z_lig, xh_pkt, m_l, m_p)  # jitted decode
+        return (jnp.concatenate([x_lig, h_lig], -1),
+                jnp.concatenate([x_pkt, h_pkt], -1))
+
     @partial(jax.jit, static_argnums=(0,),
              static_argnames=("resamplings", "timesteps", "center",
                               "return_frames"))
@@ -1052,80 +1255,21 @@ class ConditionalDDPM(DDPMBase):
         timesteps = self.T if timesteps is None else timesteps
         assert 0 < return_frames <= timesteps
         assert timesteps % return_frames == 0
-        ligand, pocket = self.normalize(ligand, pocket)
-        B = ligand["x"].shape[0]
-        nd = self.n_dims
-        m_l, m_p = ligand["mask"], pocket["mask"]
-        lf = lig_fixed * m_l
 
-        xh0_pkt = _xh(pocket)
-        com_pocket_0 = masked_mean(pocket["x"], m_p)
-        xh0_ligand = _xh(ligand)
-
-        if center == "ligand":
-            mean_known = masked_sum(ligand["x"], lf) / jnp.maximum(
-                jnp.sum(lf, 1), 1e-12)[:, None]
-        elif center == "pocket":
-            mean_known = com_pocket_0
-        else:
-            raise NotImplementedError(f"centering option {center}")
-
-        # prior centered at the known part's CoM
-        NL = m_l.shape[1]
-        mu = jnp.concatenate(
-            [jnp.broadcast_to(mean_known[:, None, :], (B, NL, nd)),
-             jnp.zeros((B, NL, self.atom_nf))], axis=-1)
-        k_init, k_scan, k_final = jax.random.split(rng, 3)
-        z_lig, xh_pkt = self.sample_normal_zero_com(
-            k_init, mu * m_l[..., None], xh0_pkt, jnp.ones((B, 1, 1)), m_l, m_p)
+        ctx, z_lig, xh_pkt, k_scan, k_final = self._cond_inpaint_prep(
+            rng, ligand, pocket, lig_fixed, center=center)
+        m_l, m_p = ctx["ligand"]["mask"], ctx["m_p"]
 
         s_seq = np.repeat(np.arange(timesteps - 1, -1, -1), resamplings)
         u_seq = np.tile(np.arange(resamplings), timesteps)
 
         def step(carry, inp):
-            z_lig, xh_pkt = carry
             s, u = inp
-            key = jax.random.fold_in(k_scan, s * resamplings + u)
-            k1, k2, k3 = jax.random.split(key, 3)
-            s_norm = jnp.full((B, 1), s, jnp.float32) / timesteps
-            t_norm = (jnp.full((B, 1), s, jnp.float32) + 1) / timesteps
-            gamma_s = self.gamma(params, s_norm)
-            gamma_t = self.gamma(params, t_norm)
-
-            # denoise the unknown part
-            z_unknown, xh_pkt = self._denoise_step(
-                params, k1, z_lig, xh_pkt, m_l, m_p, s_norm, t_norm)
-
-            # re-noise the known part in the current (translated) pocket frame
-            com_pocket = masked_mean(xh_pkt[..., :nd], m_p)
-            x_known = ligand["x"] + (com_pocket - com_pocket_0)[:, None, :]
-            xh_ligand = jnp.concatenate(
-                [x_known * m_l[..., None], xh0_ligand[..., nd:]], -1)
-            z_known, xh_pkt, _ = self.noised_representation(
-                k2, xh_ligand, xh_pkt, m_l, m_p, gamma_s)
-
-            # align CoM of the fixed nodes, shifting pocket along
-            denom = jnp.maximum(jnp.sum(lf, 1), 1e-12)[:, None]
-            com_noised = masked_sum(z_known[..., :nd], lf) / denom
-            com_denoised = masked_sum(z_unknown[..., :nd], lf) / denom
-            dx = com_denoised - com_noised
-            z_known = z_known.at[..., :nd].add(dx[:, None, :] * m_l[..., None])
-            xh_pkt = xh_pkt.at[..., :nd].add(dx[:, None, :] * m_p[..., None])
-
-            z_lig = z_known * lig_fixed[..., None] + z_unknown * (1 - lig_fixed[..., None])
-            z_lig = z_lig * m_l[..., None]
-
-            def renoise(args):
-                zl, xp = args
-                return self._noise_step(params, k3, zl, xp, m_l, m_p,
-                                        gamma_t, gamma_s)
-
+            (z_lig, xh_pkt), pre = self._cond_repaint_body(
+                params, k_scan, ctx, timesteps, resamplings, *carry, s, u)
             # frame BEFORE the optional re-noise (end-of-cycle state)
-            frame = (self.unnormalize_z(z_lig), self.unnormalize_z(xh_pkt)) \
+            frame = (self.unnormalize_z(pre[0]), self.unnormalize_z(pre[1])) \
                 if return_frames > 1 else None
-
-            z_lig, xh_pkt = jax.lax.cond(
-                u < resamplings - 1, renoise, lambda a: a, (z_lig, xh_pkt))
             return (z_lig, xh_pkt), frame
 
         (z_lig, xh_pkt), frames = jax.lax.scan(

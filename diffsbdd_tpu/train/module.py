@@ -346,11 +346,11 @@ class LigandPocketDDPM:
                 "mask": lig_mask,
                 "size": jnp.asarray(num_nodes_lig, jnp.int32),
             }
-            xh_lig, xh_pocket = self.ddpm.inpaint(
+            xh_lig, xh_pocket = self.ddpm.inpaint_segmented(
                 params, rng, ligand, pocket,
                 lig_fixed=jnp.zeros_like(lig_mask),
                 pocket_fixed=pocket["mask"],
-                timesteps=timesteps, **kwargs)
+                timesteps=timesteps, segment=50, **kwargs)
         else:
             # segmented dispatch keeps each device execution short while
             # producing the identical trajectory (tested bit-equal)

@@ -276,3 +276,44 @@ def test_segmented_sampler_matches_plain(setup):
         params, rng, pocket, lig_mask, segment=3)
     np.testing.assert_allclose(np.asarray(b_lig), np.asarray(a_lig), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b_pkt), np.asarray(a_pkt), atol=1e-5)
+
+
+def test_joint_inpaint_segmented_equals_monolithic(setup):
+    """The segmented joint RePaint driver must produce a bit-identical
+    trajectory (same scan key + per-iteration fold-in) to the single-scan
+    inpaint, across chunk boundaries and jump-back steps."""
+    ligand, pocket, models = setup
+    ddpm, params = models["JointDDPM"]
+    lig_fixed = jnp.zeros((B, NL)).at[:, :2].set(1.0) * ligand["mask"]
+    pkt_fixed = jnp.ones((B, NP)) * pocket["mask"]
+    key = jax.random.PRNGKey(21)
+    kwargs = dict(resamplings=3, jump_length=2, timesteps=T)
+    mono = ddpm.inpaint(params, key, ligand, pocket, lig_fixed, pkt_fixed,
+                        **kwargs)
+    for segment in (4, 7, 1000):  # mid-chunk, uneven, single-chunk
+        seg = ddpm.inpaint_segmented(params, key, ligand, pocket, lig_fixed,
+                                     pkt_fixed, segment=segment, **kwargs)
+        np.testing.assert_allclose(np.asarray(seg[0]), np.asarray(mono[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(seg[1]), np.asarray(mono[1]),
+                                   atol=1e-5)
+
+
+def test_conditional_inpaint_segmented_equals_monolithic(setup):
+    ligand, pocket, models = setup
+    for name in ("ConditionalDDPM", "SimpleConditionalDDPM"):
+        ddpm, params = models[name]
+        lig_fixed = jnp.zeros((B, NL)).at[:, :2].set(1.0) * ligand["mask"]
+        key = jax.random.PRNGKey(22)
+        for center in ("ligand", "pocket"):
+            kwargs = dict(resamplings=2, timesteps=T, center=center)
+            mono = ddpm.inpaint(params, key, ligand, pocket, lig_fixed,
+                                **kwargs)
+            seg = ddpm.inpaint_segmented(params, key, ligand, pocket,
+                                         lig_fixed, segment=7, **kwargs)
+            np.testing.assert_allclose(np.asarray(seg[0]),
+                                       np.asarray(mono[0]), atol=1e-5,
+                                       err_msg=f"{name}/{center}")
+            np.testing.assert_allclose(np.asarray(seg[1]),
+                                       np.asarray(mono[1]), atol=1e-5,
+                                       err_msg=f"{name}/{center}")

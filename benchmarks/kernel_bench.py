@@ -106,7 +106,11 @@ def main():
     p.add_argument("--f", type=int, default=256)
     p.add_argument("--skip-xla", action="store_true")
     p.add_argument("--precision", default="float32",
-                   choices=["float32", "bfloat16", "tensorfloat32"])
+                   choices=["float32", "float32_x3", "bfloat16",
+                            "tensorfloat32"])
+    p.add_argument("--with-cross", action="store_true",
+                   help="time the coordinate kernel with the SE(3) "
+                        "cross-product MLP (flagship configs enable it)")
     p.add_argument("--sub-j", type=int, default=32)
     p.add_argument("--tile-i", type=int, default=16)
     args = p.parse_args()
@@ -135,19 +139,29 @@ def main():
     ckw = dict(cutoffs=cutoffs, tanh=True, coords_range=15.0,
                norm_constant=1.0, normalization_factor=100.0)
 
+    cross = None
+    graph_mean = None
+    if args.with_cross:
+        cross = dict(a_row=inp["a_row"], a_col=inp["a_col"],
+                     w_d2=inp["w_d2"], w_d20=inp["w_d20"], type_bias=None,
+                     w2=inp["w2"], b2=inp["b2"], w3=inp["w3"])
+        graph_mean = (jnp.sum(inp["x"] * inp["mask"][..., None], 1)
+                      / jnp.sum(inp["mask"], 1)[:, None])
+
     def coord_step(x):
         out = K.coord_update_agg_pallas(
             inp["a_row"], inp["a_col"], x, inp["x0"], inp["mask"],
             inp["is_lig"], inp["w_d2"], inp["w_d20"], None, inp["w2"],
             inp["b2"], inp["w3"], mxu_precision=args.precision,
-            sub_j=args.sub_j, tile_i=args.tile_i, **ckw)
+            sub_j=args.sub_j, tile_i=args.tile_i, cross=cross,
+            graph_mean=graph_mean, **ckw)
         return x + out * 0.01  # adjacency comes from x0, so drift is safe
 
     ms_coord = timeit(coord_step, inp["x"])
 
     result = {"shape": [args.batch, args.n, args.f],
               "precision": args.precision, "sub_j": args.sub_j,
-              "tile_i": args.tile_i,
+              "tile_i": args.tile_i, "with_cross": args.with_cross,
               "gcl_ms": round(ms_gcl, 2), "coord_ms": round(ms_coord, 2)}
 
     if not args.skip_xla:

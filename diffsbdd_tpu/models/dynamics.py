@@ -100,6 +100,8 @@ class EGNNDynamics(nn.Module):
     impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     interpret: bool = False
     kernel_tile: int = 128
+    kernel_tile_i: Optional[int] = None  # default min(16, kernel_tile)
+    kernel_sub_j: int = 32  # cutoff-skip granularity inside a column tile
     compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
     matmul_precision: str = "float32"  # TPU default (bf16 inputs) loses ~1e-2
     # relative on this network's large d^2 edge features; 'float32' restores
@@ -171,8 +173,10 @@ class EGNNDynamics(nn.Module):
                 adj = None
                 fused_ctx = dict(mask=mask, is_lig=is_lig,
                                  type_table=type_table, cutoffs=cutoffs,
-                                 tile_i=min(16, self.kernel_tile),
+                                 tile_i=self.kernel_tile_i
+                                 or min(16, self.kernel_tile),
                                  tile_j=self.kernel_tile,
+                                 sub_j=self.kernel_sub_j,
                                  mxu_precision=self.matmul_precision)
             else:
                 fused_ctx = None

@@ -152,6 +152,7 @@ class DenseGCL(nn.Module):
 
     hidden_nf: int
     edges_in_d: int
+    node_nf: int  # input feature width H (params are created in setup)
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     attention: bool = False
@@ -159,17 +160,32 @@ class DenseGCL(nn.Module):
     interpret: bool = False
     compute_dtype: Any = jnp.float32  # pairwise-message compute precision
 
-    @nn.compact
+    def setup(self):
+        H = self.node_nf
+        self.edge_mlp_0_kernel = self.param(
+            "edge_mlp_0_kernel", nn.initializers.lecun_normal(),
+            (2 * H + self.edges_in_d, self.hidden_nf))
+        self.edge_mlp_0_bias = self.param(
+            "edge_mlp_0_bias", nn.initializers.zeros, (self.hidden_nf,))
+        self.edge_mlp_2 = DenseParams(self.hidden_nf, self.hidden_nf)
+        if self.attention:
+            self.att_mlp_0 = DenseParams(self.hidden_nf, 1)
+        self.node_mlp_0 = nn.Dense(self.hidden_nf)
+        self.node_mlp_2 = nn.Dense(H)
+
+    def node_update(self, h, agg, node_mask):
+        """Residual node MLP on the aggregated messages."""
+        inp = jnp.concatenate([h, agg], axis=-1)
+        upd = self.node_mlp_2(jax.nn.silu(self.node_mlp_0(inp)))
+        return (h + upd) * node_mask[..., None]
+
     def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None):
         B, N, H = h.shape
-        k1 = self.param("edge_mlp_0_kernel", nn.initializers.lecun_normal(),
-                        (2 * H + self.edges_in_d, self.hidden_nf))
-        b1 = self.param("edge_mlp_0_bias", nn.initializers.zeros,
-                        (self.hidden_nf,))
-        k2, b2 = DenseParams(self.hidden_nf, self.hidden_nf,
-                             name="edge_mlp_2")()
+        k1 = self.edge_mlp_0_kernel
+        b1 = self.edge_mlp_0_bias
+        k2, b2 = self.edge_mlp_2()
         if self.attention:
-            k_att, b_att = DenseParams(self.hidden_nf, 1, name="att_mlp_0")()
+            k_att, b_att = self.att_mlp_0()
         else:
             k_att, b_att = None, None
 
@@ -185,6 +201,7 @@ class DenseGCL(nn.Module):
                 normalization_factor=self.normalization_factor,
                 impl="pallas", tile_i=fused_ctx["tile_i"],
                 tile_j=fused_ctx["tile_j"],
+                sub_j=fused_ctx.get("sub_j", fused.SUB_J),
                 mxu_precision=fused_ctx.get("mxu_precision", "float32"),
                 interpret=self.interpret)
         else:
@@ -214,12 +231,7 @@ class DenseGCL(nn.Module):
             agg = agg.astype(h.dtype)
 
         # node MLP: Linear(H + F -> F), silu, Linear(F -> H), residual
-        inp = jnp.concatenate([h, agg], axis=-1)
-        upd = nn.Dense(self.hidden_nf, name="node_mlp_0")(inp)
-        upd = jax.nn.silu(upd)
-        upd = nn.Dense(H, name="node_mlp_2")(upd)
-        h = h + upd
-        return h * node_mask[..., None]
+        return self.node_update(h, agg, node_mask)
 
 
 def _gain_xavier_uniform(gain: float):
@@ -302,10 +314,7 @@ class DenseEquivariantUpdate(nn.Module):
         else:
             agg = self._dense_agg(h, coord_diff, coord_cross, edge_feat, adj)
 
-        if update_coords_mask is not None:
-            agg = agg * update_coords_mask[..., None]
-        coord = coord + agg
-        return coord * node_mask[..., None]
+        return self.apply_update(coord, agg, node_mask, update_coords_mask)
 
     def _dense_agg(self, h, coord_diff, coord_cross, edge_feat, adj):
         phi = self.coord_mlp(h, edge_feat)
@@ -327,6 +336,11 @@ class DenseEquivariantUpdate(nn.Module):
             denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
             return jnp.sum(trans, axis=2) / denom[..., None]
         raise ValueError(self.aggregation_method)
+
+    def apply_update(self, coord, agg, node_mask, update_coords_mask=None):
+        if update_coords_mask is not None:
+            agg = agg * update_coords_mask[..., None]
+        return (coord + agg) * node_mask[..., None]
 
     def _fused_agg(self, h, ctx):
         assert self.aggregation_method == "sum"
@@ -353,6 +367,7 @@ class DenseEquivariantUpdate(nn.Module):
             normalization_factor=self.normalization_factor,
             cross=cross, graph_mean=graph_mean, impl="pallas",
             tile_i=ctx["tile_i"], tile_j=ctx["tile_j"],
+            sub_j=ctx.get("sub_j", fused.SUB_J),
             mxu_precision=ctx.get("mxu_precision", "float32"),
             interpret=self.interpret)
 
@@ -383,7 +398,28 @@ class EquivariantBlock(nn.Module):
     def __call__(self, h, x, adj, node_mask, edge_attr, update_coords_mask=None,
                  fused_ctx=None):
         use_fused = fused_ctx is not None and self.impl == "pallas"
+        gcls = [DenseGCL(self.hidden_nf, self.edge_feat_nf,
+                         node_nf=self.hidden_nf,
+                         normalization_factor=self.normalization_factor,
+                         aggregation_method=self.aggregation_method,
+                         attention=self.attention, impl=self.impl,
+                         interpret=self.interpret,
+                         compute_dtype=self.compute_dtype, name=f"gcl_{i}")
+                for i in range(self.n_layers)]
+        equiv = DenseEquivariantUpdate(
+            self.hidden_nf, self.edge_feat_nf, node_nf=self.hidden_nf,
+            normalization_factor=self.normalization_factor,
+            aggregation_method=self.aggregation_method, tanh=self.tanh,
+            coords_range=self.coords_range,
+            reflection_equiv=self.reflection_equiv, impl=self.impl,
+            interpret=self.interpret, compute_dtype=self.compute_dtype,
+            name="gcl_equiv")
+
         if use_fused:
+            # NOTE a whole-block (GCL+coord) mega-kernel is NOT possible:
+            # the coordinate MLP consumes the post-GCL h (egnn_new.py:178
+            # runs gcl_equiv on the h returned by the GCL loop), and that h
+            # depends on the full message aggregation — a global barrier.
             ctx = dict(fused_ctx)
             ctx["norm_constant"] = self.norm_constant
             edge_feat = None
@@ -400,23 +436,9 @@ class EquivariantBlock(nn.Module):
         for i in range(self.n_layers):
             if use_fused:
                 ctx["x"] = x  # current coordinates for this block's distances
-            h = DenseGCL(self.hidden_nf, self.edge_feat_nf,
-                         normalization_factor=self.normalization_factor,
-                         aggregation_method=self.aggregation_method,
-                         attention=self.attention, impl=self.impl,
-                         interpret=self.interpret,
-                         compute_dtype=self.compute_dtype, name=f"gcl_{i}")(
-                h, edge_feat, adj, node_mask, fused_ctx=ctx)
-        x = DenseEquivariantUpdate(
-            self.hidden_nf, self.edge_feat_nf, node_nf=self.hidden_nf,
-            normalization_factor=self.normalization_factor,
-            aggregation_method=self.aggregation_method, tanh=self.tanh,
-            coords_range=self.coords_range,
-            reflection_equiv=self.reflection_equiv, impl=self.impl,
-            interpret=self.interpret, compute_dtype=self.compute_dtype,
-            name="gcl_equiv")(
-            h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
-            update_coords_mask, fused_ctx=ctx)
+            h = gcls[i](h, edge_feat, adj, node_mask, fused_ctx=ctx)
+        x = equiv(h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
+                  update_coords_mask, fused_ctx=ctx)
         return h * node_mask[..., None], x
 
 
@@ -512,6 +534,7 @@ class GNN(nn.Module):
         h = nn.Dense(self.hidden_nf, name="embedding")(h)
         for i in range(self.n_layers):
             h = DenseGCL(self.hidden_nf, edges_in_d=edge_attr.shape[-1],
+                         node_nf=self.hidden_nf,
                          normalization_factor=self.normalization_factor,
                          aggregation_method=self.aggregation_method,
                          attention=self.attention, name=f"gcl_{i}")(

@@ -182,13 +182,16 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                               lig_i, lig_j[:, sl],
                               wd2_ref[0], wd20_ref[0], type_bias,
                               w2_ref[:], b2_ref[0], None, mxu)
+                # adjacency folded into the attention gate: adj is exactly
+                # {0,1}, so m*(att*adj) == (m*att)*adj bit-for-bit, one
+                # F-wide multiply cheaper
+                sub = sl.stop - sl.start
+                gate = adj[:, sl][:, :, None]
                 if attention:
                     att = jax.nn.sigmoid(_dot(m, watt_ref[:], mxu)
                                          + batt_ref[0])
-                    m = m * att
-                m = m.reshape(ti, sl.stop - sl.start, -1)
-                adj_s = adj[:, sl]
-                return jnp.sum(m * adj_s[:, :, None], axis=1)
+                    gate = gate * att.reshape(ti, sub, 1)
+                return jnp.sum(m.reshape(ti, sub, -1) * gate, axis=1)
 
             # sub-tile skipping: cutoff sparsity makes many 32-column blocks
             # edge-free (38% active on the 3rfm pocket at 5 A); the MLPs only
@@ -551,10 +554,11 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
-    cutoffs, attention, nf, tile_i, tile_j, mxu_precision, interpret = cfg
+    (cutoffs, attention, nf, tile_i, tile_j, sub_j, mxu_precision,
+     interpret) = cfg
     return gcl_message_agg_pallas(
         *operands, cutoffs=cutoffs, attention=attention,
-        normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
+        normalization_factor=nf, tile_i=tile_i, tile_j=tile_j, sub_j=sub_j,
         mxu_precision=mxu_precision, interpret=interpret)
 
 
@@ -580,7 +584,8 @@ _gcl_agg_cvjp.defvjp(_gcl_agg_fwd, _gcl_agg_bwd)
 def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
-                    tile_j=TILE_J, mxu_precision="float32", interpret=False):
+                    tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
+                    interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way."""
     if impl == "xla":
         return gcl_message_agg_xla(
@@ -588,7 +593,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
             normalization_factor=normalization_factor)
     cfg = (tuple(cutoffs), attention, float(normalization_factor),
-           tile_i, tile_j, mxu_precision, interpret)
+           tile_i, tile_j, sub_j, mxu_precision, interpret)
     operands = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
                 w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, operands)
@@ -596,14 +601,14 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
-    (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j,
+    (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
      mxu_precision, interpret) = cfg
     main, cross, graph_mean = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
         cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
-        mxu_precision=mxu_precision, interpret=interpret)
+        sub_j=sub_j, mxu_precision=mxu_precision, interpret=interpret)
 
 
 def _coord_agg_fwd(cfg, operands):
@@ -631,7 +636,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      type_bias, w2, b2, w3, *, cutoffs, tanh, coords_range,
                      norm_constant, normalization_factor, cross=None,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
-                     tile_j=TILE_J, mxu_precision="float32",
+                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
                      interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable."""
     if impl == "xla":
@@ -642,8 +647,39 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             normalization_factor=normalization_factor, cross=cross,
             graph_mean=graph_mean)
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
-           float(normalization_factor), tile_i, tile_j, mxu_precision,
-           interpret)
+           float(normalization_factor), tile_i, tile_j, sub_j,
+           mxu_precision, interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean))
+
+
+# ---------------------------------------------------------------------------
+# edge-type-table folding
+# ---------------------------------------------------------------------------
+#
+# NOTE a whole-block (GCL + coordinate-update) mega-kernel was prototyped and
+# rejected: the reference's coordinate MLP consumes the post-GCL h
+# (egnn_new.py:175-178), which depends on the full message aggregation — a
+# global barrier no single-pass kernel can cross.  The folding below remains
+# useful on its own: it moves the (2,2,F) edge-type table into the per-node
+# projections, leaving only a rank-1 lig_i*lig_j correction per pair and
+# cutting first-layer assembly from ~12 to ~7 VPU ops per pair-feature.
+
+
+def fold_type_bias(a_row, a_col, is_lig, type_bias):
+    """Fold the (2,2,F) edge-type table into per-node row/col projections.
+
+    tb[li, lj] == t00 + li*(t10-t00) + lj*(t01-t00) + li*lj*delta with
+    delta = t11 - t10 - t01 + t00; the first three terms are per-node, only
+    the rank-1 product term stays pairwise.  Returns (a_row', a_col', delta)
+    with delta None when there is no table.
+    """
+    if type_bias is None:
+        return a_row, a_col, None
+    t00, t01 = type_bias[0, 0], type_bias[0, 1]
+    t10, t11 = type_bias[1, 0], type_bias[1, 1]
+    lig = is_lig[..., None]
+    a_row = a_row + t00 + lig * (t10 - t00)
+    a_col = a_col + lig * (t01 - t00)
+    return a_row, a_col, (t11 - t10 - t01 + t00)

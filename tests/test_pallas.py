@@ -219,3 +219,22 @@ def test_gcl_agg_reduced_precision(precision, atol):
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=atol * scale)
+
+
+def test_fold_type_bias_equivalence():
+    """Folded projections + rank-1 pair term == full (2,2,F) table."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    a_row = jax.random.normal(ks[0], (1, 8, 4))
+    a_col = jax.random.normal(ks[1], (1, 8, 4))
+    is_lig = (jax.random.uniform(ks[2], (1, 8)) > 0.5).astype(jnp.float32)
+    tb = jax.random.normal(ks[3], (2, 2, 4))
+    ar, ac, delta = ep.fold_type_bias(a_row, a_col, is_lig, tb)
+    pre_folded = ar[:, :, None, :] + ac[:, None, :, :] \
+        + (is_lig[:, :, None] * is_lig[:, None, :])[..., None] * delta
+    li = is_lig[:, :, None, None]
+    lj = is_lig[:, None, :, None]
+    pre_full = a_row[:, :, None, :] + a_col[:, None, :, :] \
+        + (1 - li) * (1 - lj) * tb[0, 0] + (1 - li) * lj * tb[0, 1] \
+        + li * (1 - lj) * tb[1, 0] + li * lj * tb[1, 1]
+    np.testing.assert_allclose(np.asarray(pre_folded), np.asarray(pre_full),
+                               atol=1e-6)

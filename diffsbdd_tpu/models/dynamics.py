@@ -177,6 +177,12 @@ class EGNNDynamics(nn.Module):
                                  or min(16, self.kernel_tile),
                                  tile_j=self.kernel_tile,
                                  sub_j=self.kernel_sub_j,
+                                 # conditional models freeze pocket coords
+                                 # (update_coords_mask=is_lig) and nodes are
+                                 # ligand-first: the coordinate kernel only
+                                 # needs the leading NL rows
+                                 update_rows=None
+                                 if self.update_pocket_coords else NL,
                                  mxu_precision=self.matmul_precision)
             else:
                 fused_ctx = None

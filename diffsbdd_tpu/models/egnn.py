@@ -368,6 +368,7 @@ class DenseEquivariantUpdate(nn.Module):
             cross=cross, graph_mean=graph_mean, impl="pallas",
             tile_i=ctx["tile_i"], tile_j=ctx["tile_j"],
             sub_j=ctx.get("sub_j", fused.SUB_J),
+            update_rows=ctx.get("update_rows"),
             mxu_precision=ctx.get("mxu_precision", "float32"),
             interpret=self.interpret)
 

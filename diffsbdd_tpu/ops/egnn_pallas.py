@@ -388,15 +388,27 @@ def coord_update_agg_pallas(
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
         cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
-        sub_j=SUB_J, mxu_precision="float32", interpret=False):
+        sub_j=SUB_J, update_rows=None, mxu_precision="float32",
+        interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
     ``cross``: optional dict with the cross-product MLP pieces
     {a_row, a_col, w_d2, w_d20, type_bias, w2, b2, w3} for the
     reflection-symmetry-breaking SE(3) term; requires ``graph_mean`` (B, 3).
+
+    ``update_rows``: when only the leading ``update_rows`` rows' translations
+    are consumed (conditional models freeze pocket coordinates via
+    update_coords_mask, and nodes are laid out ligand-first), the kernel grid
+    is truncated to those row tiles and the remaining rows are returned as
+    exact zeros — skipping ~85%% of this kernel's work on the flagship
+    pocket-conditional shape.
     """
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
+    n_row_tiles = N // tile_i
+    if update_rows is not None:
+        n_row_tiles = min(n_row_tiles, -(-int(update_rows) // tile_i))
+    n_rows_out = n_row_tiles * tile_i
     reflection_equiv = cross is None
     has_type_bias = type_bias is not None
     if type_bias is None:
@@ -451,15 +463,18 @@ def coord_update_agg_pallas(
         args += [cross["w_d2"].reshape(1, F), cross["w_d20"].reshape(1, F),
                  ctb, cross["w2"], cross["b2"].reshape(1, F), cross["w3"]]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B, N // tile_i),
+        grid=(B, n_row_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_i, 3), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32),
         interpret=interpret,
     )(*args)
+    if n_rows_out < N:
+        out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +526,8 @@ def gcl_message_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                          type_bias, w2, b2, w3, *, cutoffs, tanh,
                          coords_range, norm_constant, normalization_factor,
-                         cross=None, graph_mean=None):
+                         cross=None, graph_mean=None, update_rows=None,
+                         tile_i=TILE_I):
     """Dense-XLA twin of the fused coordinate-update kernel."""
     d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
     d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
@@ -545,7 +561,14 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
         trans = trans + cr / cnorm * phi_c[..., None]
 
     trans = trans * adj[..., None]
-    return jnp.sum(trans, axis=2) / normalization_factor
+    agg = jnp.sum(trans, axis=2) / normalization_factor
+    if update_rows is not None:
+        # rows beyond the truncated kernel grid are exact zeros
+        n_rows_out = min(agg.shape[1],
+                         -(-int(update_rows) // tile_i) * tile_i)
+        keep = (jnp.arange(agg.shape[1]) < n_rows_out)
+        agg = agg * keep[None, :, None]
+    return agg
 
 
 # ---------------------------------------------------------------------------
@@ -602,13 +625,14 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
-     mxu_precision, interpret) = cfg
+     update_rows, mxu_precision, interpret) = cfg
     main, cross, graph_mean = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
         cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
-        sub_j=sub_j, mxu_precision=mxu_precision, interpret=interpret)
+        sub_j=sub_j, update_rows=update_rows,
+        mxu_precision=mxu_precision, interpret=interpret)
 
 
 def _coord_agg_fwd(cfg, operands):
@@ -617,13 +641,15 @@ def _coord_agg_fwd(cfg, operands):
 
 def _coord_agg_bwd(cfg, operands, g):
     cutoffs, tanh, coords_range, norm_constant, nf = cfg[:5]
+    tile_i, update_rows = cfg[5], cfg[8]
 
     def f(ops):
         main, cross, graph_mean = ops
         return coord_update_agg_xla(
             *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
             norm_constant=norm_constant, normalization_factor=nf,
-            cross=cross, graph_mean=graph_mean)
+            cross=cross, graph_mean=graph_mean, update_rows=update_rows,
+            tile_i=tile_i)
 
     _, vjp = jax.vjp(f, operands)
     return vjp(g)
@@ -636,8 +662,8 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      type_bias, w2, b2, w3, *, cutoffs, tanh, coords_range,
                      norm_constant, normalization_factor, cross=None,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
-                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-                     interpret=False):
+                     tile_j=TILE_J, sub_j=SUB_J, update_rows=None,
+                     mxu_precision="float32", interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable."""
     if impl == "xla":
         return coord_update_agg_xla(
@@ -645,9 +671,10 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
             b2, w3, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
             norm_constant=norm_constant,
             normalization_factor=normalization_factor, cross=cross,
-            graph_mean=graph_mean)
+            graph_mean=graph_mean, update_rows=update_rows, tile_i=tile_i)
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
            float(normalization_factor), tile_i, tile_j, sub_j,
+           None if update_rows is None else int(update_rows),
            mxu_precision, interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)

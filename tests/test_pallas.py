@@ -238,3 +238,37 @@ def test_fold_type_bias_equivalence():
         + li * (1 - lj) * tb[1, 0] + li * lj * tb[1, 1]
     np.testing.assert_allclose(np.asarray(pre_folded), np.asarray(pre_full),
                                atol=1e-6)
+
+
+def test_coord_agg_update_rows_truncation():
+    """With update_rows=R, rows < R match the full kernel and rows >= the
+    covering tile are exact zeros (conditional models discard them)."""
+    (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+     w2, b2, w_att, b_att) = make_inputs(jax.random.PRNGKey(6))
+    w3 = jax.random.normal(jax.random.PRNGKey(7), (F, 1)) * 0.3
+    kw = dict(cutoffs=(None, 5.0, 5.0), tanh=True, coords_range=15.0,
+              norm_constant=1.0, normalization_factor=100.0)
+    full = ep.coord_update_agg(
+        a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2, b2,
+        w3, impl="pallas", interpret=True, **kw)
+    R = 24  # covered by 2 x tile_i=16 -> 32 rows
+    trunc = ep.coord_update_agg(
+        a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2, b2,
+        w3, impl="pallas", interpret=True, update_rows=R, **kw)
+    np.testing.assert_allclose(np.asarray(trunc[:, :32]),
+                               np.asarray(full[:, :32]), atol=1e-6)
+    assert float(jnp.abs(trunc[:, 32:]).max()) == 0.0
+    # XLA twin agrees with the truncation semantics
+    twin = ep.coord_update_agg_xla(
+        a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2, b2,
+        w3, update_rows=R, **kw)
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(twin),
+                               atol=2e-5)
+    # gradients flow through the truncated path
+    def loss(ar):
+        out = ep.coord_update_agg(
+            ar, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2, b2,
+            w3, impl="pallas", interpret=True, update_rows=R, **kw)
+        return jnp.sum(out ** 2)
+    g = jax.grad(loss)(a_row)
+    assert bool(jnp.all(jnp.isfinite(g)))

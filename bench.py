@@ -178,11 +178,13 @@ def main():
         T, batches, impl = 10, (4, 2), "xla"
 
     # fused Pallas EGNN kernels; 'float32_x3' keeps the XLA glue at exact
-    # f32 and runs the kernels' pair-MLP dots as 3-pass bf16 splits: measured
-    # 44 ms/step vs 61 ms at strict f32 (B=8, real pocket), with 3.8e-6 max
-    # eps deviation on outputs of scale 2.65 — effectively exact.  Sub-tile
-    # cutoff skipping provides most of the win on the ~40%-active (at 16x32
-    # blocks) pocket adjacency.
+    # f32 and runs the kernels' pair-MLP dots as 3-pass bf16 splits (3.8e-6
+    # max eps deviation on outputs of scale 2.65 — effectively exact; see
+    # benchmarks/precision_validation.py for full-chain evidence).  The
+    # kernels skip cutoff-inactive 32-column blocks (~40% active at 16x32 on
+    # this pocket) and, in conditional mode, the coordinate kernel only
+    # computes the ligand row tiles (pocket coordinates are frozen) —
+    # measured ~21 ms/step eps-net at B=8 vs 61 ms at strict f32 dense.
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
                                    matmul_precision="float32_x3",
                                    egnn_impl=impl)

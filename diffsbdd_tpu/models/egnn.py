@@ -82,7 +82,12 @@ def coord2cross(x: jnp.ndarray, node_mask: jnp.ndarray, norm_constant: float = 1
         jnp.broadcast_to(xc[:, :, None, :], xc.shape[:1] + (xc.shape[1], xc.shape[1], 3)),
         jnp.broadcast_to(xc[:, None, :, :], xc.shape[:1] + (xc.shape[1], xc.shape[1], 3)),
     )
-    norm = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+    # sqrt(.+1e-8) instead of linalg.norm: the cross product is exactly zero
+    # on the diagonal (and for coincident padded nodes), where the norm's
+    # JAX gradient is inf and inf*0 NaNs the whole backward pass.  torch
+    # defines the norm subgradient at 0 as 0, so the reference never hits
+    # this (egnn_new.py:105-109).
+    norm = jnp.sqrt(jnp.sum(cross**2, axis=-1, keepdims=True) + 1e-8)
     return cross / (norm + norm_constant)
 
 

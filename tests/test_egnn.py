@@ -255,3 +255,27 @@ def test_bf16_compute_close_to_f32():
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
                                atol=0.05, rtol=0.1)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=0.05)
+
+
+def test_cross_product_grads_finite():
+    """Backward through the SE(3) cross-product term must be NaN-free.
+
+    cross(xc_i, xc_j) is exactly zero on the diagonal and for coincident
+    padded nodes; an unguarded norm has an infinite JAX gradient there and
+    inf*0 poisons every parameter grad (torch's norm subgradient at 0 is 0,
+    so the reference never sees this).  Regression for the flagship
+    reflection_equivariant=False training configuration."""
+    h, x, adj, mask = make_graph(jax.random.PRNGKey(11))
+    # coincident nodes: two padded rows at the origin + a duplicated pair
+    x = x.at[0, 3].set(x[0, 2])
+    m = EGNN(hidden_nf=16, out_node_nf=6, n_layers=1, inv_sublayers=1,
+             reflection_equiv=False, attention=True, tanh=True)
+    params = m.init(jax.random.PRNGKey(12), h, x, adj, mask)
+
+    def loss(p, xx):
+        ho, xo = m.apply(p, h, xx, adj, mask)
+        return jnp.sum(ho**2) + jnp.sum(xo**2)
+
+    grads, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    for leaf in jax.tree_util.tree_leaves((grads, gx)):
+        assert np.all(np.isfinite(leaf)), "NaN/inf in cross-product backward"

@@ -62,6 +62,11 @@ def main(argv=None):
                 args.config,
                 overrides=merge_configs(cfg.to_dict(), resume_config))
 
+    # multi-host pod: sets up jax multi-process mode when a coordinator is
+    # configured; single-host runs are unaffected
+    from diffsbdd_tpu.parallel.mesh import maybe_initialize_distributed
+    n_proc = maybe_initialize_distributed(cfg)
+
     histogram = load_size_histogram(cfg.datadir)
     module = build_module_from_config(cfg, histogram)
 
@@ -74,13 +79,18 @@ def main(argv=None):
         Path(cfg.datadir, "train.npz"), transform=transform)
     val_ds = LigandPocketDataset(
         Path(cfg.datadir, "val.npz"), transform=transform)
+    # same-seeded rng on every host -> identical shuffle order; each host
+    # yields its process_index slice of the global batch
     rng_np = np.random.default_rng(cfg.seed)
+    pi = jax.process_index()
     train_loader = PaddedLoader(
         train_ds, cfg.batch_size, lig_bucket=cfg.tpu.lig_bucket,
-        pocket_bucket=cfg.tpu.pocket_bucket, shuffle=True, rng=rng_np)
+        pocket_bucket=cfg.tpu.pocket_bucket, shuffle=True, rng=rng_np,
+        process_index=pi, process_count=n_proc)
     val_loader = PaddedLoader(
         val_ds, cfg.batch_size, lig_bucket=cfg.tpu.lig_bucket,
-        pocket_bucket=cfg.tpu.pocket_bucket, shuffle=False)
+        pocket_bucket=cfg.tpu.pocket_bucket, shuffle=False,
+        process_index=pi, process_count=n_proc)
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)

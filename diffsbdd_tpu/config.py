@@ -116,6 +116,8 @@ _DEFAULTS: Dict[str, Any] = {
         "matmul_precision": "float32",  # 'bfloat16' trades ~1e-2 eps noise for speed
         "remat": True,            # rematerialize EGNN blocks in training
         "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
+        "multihost": False,       # force jax.distributed.initialize() even
+                                  # without coordinator env vars
     },
 }
 

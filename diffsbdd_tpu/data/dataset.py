@@ -167,13 +167,24 @@ class PaddedLoader:
     handful of distinct padded shapes (= XLA compilations) occur, while
     batches stay dense.  ``fixed_shape=True`` pads everything to the global
     maximum instead — one compilation, more padding.
+
+    Multi-host data parallelism (the TPU equivalent of Lightning DDP's
+    per-rank DistributedSampler, train.py:118-119): ``batch_size`` is the
+    GLOBAL batch; pass ``process_index``/``process_count`` (normally
+    ``jax.process_index()``/``jax.process_count()``) and each host yields its
+    contiguous ``batch_size // process_count`` slice of every global batch.
+    All hosts must construct the loader with the same-seeded ``rng`` so the
+    shuffle order agrees (the default rng(0) does).
     """
 
     def __init__(self, dataset: LigandPocketDataset, batch_size: int,
                  lig_bucket: int = 8, pocket_bucket: int = 64,
                  shuffle: bool = True, drop_last: bool = False,
                  fixed_shape: bool = True,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 process_index: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        assert 0 <= process_index < process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.lig_bucket = lig_bucket
@@ -182,6 +193,8 @@ class PaddedLoader:
         self.drop_last = drop_last
         self.rng = rng or np.random.default_rng(0)
         self.fixed_shape = fixed_shape
+        self.process_index = process_index
+        self.process_count = process_count
         nl, npk = dataset.max_sizes()
         self.n_lig_max = round_to_bucket(nl, lig_bucket)
         self.n_pocket_max = round_to_bucket(npk, pocket_bucket)
@@ -225,6 +238,14 @@ class PaddedLoader:
                 # repeat items so every batch has a static batch dimension
                 idx = np.concatenate(
                     [idx, order[:self.batch_size - len(idx)]])
+            if self.process_count > 1:
+                # this host's contiguous slice of the global batch; the
+                # bucket shapes below are computed from the LOCAL slice only
+                # when fixed_shape=False, so multi-host runs should keep
+                # fixed_shape=True (identical shapes on every host)
+                local = self.batch_size // self.process_count
+                idx = idx[self.process_index * local:
+                          (self.process_index + 1) * local]
             if self.fixed_shape:
                 n_lig, n_pocket = self.n_lig_max, self.n_pocket_max
             else:

@@ -32,11 +32,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every array of a (nested) batch dict with batch-axis sharding."""
+    """Place every array of a (nested) batch dict with batch-axis sharding.
+
+    Single-process: a plain sharded device_put.  Multi-process (multi-host
+    pod, after ``jax.distributed.initialize``): each host holds only its
+    local slice of the global batch (PaddedLoader's process sharding), so the
+    global array is assembled with ``make_array_from_process_local_data`` —
+    the host-local slices become the shards, no cross-host data movement.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def maybe_initialize_distributed(cfg=None) -> int:
+    """Initialize JAX multi-process mode when launched on a multi-host pod.
+
+    Uses the standard coordinator environment (JAX_COORDINATOR_ADDRESS &
+    friends, or TPU pod metadata auto-detection).  Safe to call on a single
+    host: without coordinator configuration it leaves JAX in single-process
+    mode.  Returns the process count.  Mirrors the role of Lightning's DDP
+    process-group setup (train.py:119).
+    """
+    import os
+
+    want = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or (cfg is not None and getattr(cfg.tpu, "multihost", False)))
+    if want and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-host fallback stays usable
+            print(f"jax.distributed.initialize failed ({e}); "
+                  "continuing single-process")
+    return jax.process_count()

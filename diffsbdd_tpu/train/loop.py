@@ -234,6 +234,10 @@ class Trainer:
         while cfg.batch_size % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(n_dev)
+        # multi-host: host-side work (metrics files, checkpoints, sampling
+        # eval) runs on process 0 only, like the reference's rank-0 eval
+        # (lightning_modules.py:385); the jitted steps run on all hosts
+        self.is_main_process = _jax.process_index() == 0
         self.train_step = make_train_step(
             module, cfg.lr, cfg.clip_grad,
             accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1))
@@ -248,6 +252,8 @@ class Trainer:
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     def log(self, metrics: Dict, split: str, step: int):
+        if not self.is_main_process:
+            return
         named = {f"{k}/{split}": float(v) for k, v in metrics.items()}
         if self.logger is not None:
             self.logger.log(named, step=step)
@@ -275,17 +281,22 @@ class Trainer:
                     val_losses.append(float(info["loss"]))
                 val_loss = float(np.mean(val_losses))
                 self.log({"loss": val_loss}, "val", int(state.step))
-                cfg_dict = self.cfg.to_dict()
-                cfg_dict["node_histogram"] = np.asarray(
-                    self.module.ddpm.size_distribution.raw_histogram).tolist()
-                save_checkpoint(self.ckpt_dir, state, cfg_dict, name="last")
-                if val_loss < self.best_val:
-                    self.best_val = val_loss
-                    save_checkpoint(self.ckpt_dir, state, cfg_dict, name="best")
+                if self.is_main_process:
+                    cfg_dict = self.cfg.to_dict()
+                    cfg_dict["node_histogram"] = np.asarray(
+                        self.module.ddpm.size_distribution
+                        .raw_histogram).tolist()
+                    save_checkpoint(self.ckpt_dir, state, cfg_dict,
+                                    name="last")
+                    if val_loss < self.best_val:
+                        self.best_val = val_loss
+                        save_checkpoint(self.ckpt_dir, state, cfg_dict,
+                                        name="best")
 
             # periodic sampling-quality eval + visualization
-            # (lightning_modules.py:382-410)
-            if self.evaluator is not None:
+            # (lightning_modules.py:382-410); rank 0 only, as in the
+            # reference
+            if self.evaluator is not None and self.is_main_process:
                 ep = self.cfg.eval_params
                 if (epoch + 1) % self.cfg.eval_epochs == 0:
                     rng, k = jax.random.split(rng)

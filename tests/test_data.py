@@ -94,3 +94,30 @@ def test_virtual_nodes_transform(tmp_path):
         item["lig_one_hot"][-n_virt:, 4], np.ones(n_virt))
     # real rows keep their original type (shifted around the inserted column)
     assert item["lig_one_hot"][: 12 - n_virt, 4].sum() == 0
+
+
+def test_padded_loader_process_sharding(tmp_path):
+    """Multi-host DP semantics: each process's slices are disjoint, cover the
+    global batch exactly, and agree with the single-process loader given the
+    same-seeded shuffle rng (train.py:118-119 DistributedSampler analogue)."""
+    path = make_npz(tmp_path, n_complexes=8)
+    ds = LigandPocketDataset(path)
+
+    def names(loader):
+        return [b["names"] for b in loader]
+
+    global_batches = names(PaddedLoader(
+        ds, batch_size=4, lig_bucket=8, pocket_bucket=8, shuffle=True,
+        rng=np.random.default_rng(3)))
+    shards = [names(PaddedLoader(
+        ds, batch_size=4, lig_bucket=8, pocket_bucket=8, shuffle=True,
+        rng=np.random.default_rng(3), process_index=pi, process_count=2))
+        for pi in range(2)]
+
+    assert len(shards[0]) == len(shards[1]) == len(global_batches)
+    for gb, s0, s1 in zip(global_batches, shards[0], shards[1]):
+        assert len(s0) == len(s1) == 2  # batch_size // process_count
+        assert s0 + s1 == gb  # disjoint, exhaustive, order-preserving
+
+    with pytest.raises(AssertionError):
+        PaddedLoader(ds, batch_size=3, process_count=2)

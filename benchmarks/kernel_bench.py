@@ -62,10 +62,12 @@ def realistic_inputs(B, N, F, anf_lig=32, seed=0):
     w_att = rng.standard_normal((F, 1)).astype(np.float32) / np.sqrt(F)
     b_att = np.zeros((1,), np.float32)
     w3 = rng.standard_normal((F, 1)).astype(np.float32) / np.sqrt(F)
+    tb = rng.standard_normal((2, 2, F)).astype(np.float32) * 0.1
     j = jnp.asarray
     return dict(a_row=j(a_row), a_col=j(a_col), x=j(x), x0=j(x),
                 mask=j(mask), is_lig=j(is_lig), w_d2=j(w_d2), w_d20=j(w_d20),
-                w2=j(w2), b2=j(b2), w_att=j(w_att), b_att=j(b_att), w3=j(w3))
+                w2=j(w2), b2=j(b2), w_att=j(w_att), b_att=j(b_att), w3=j(w3),
+                tb=j(tb))
 
 
 def timeit(step, init, iters=16, repeats=3):
@@ -113,6 +115,9 @@ def main():
                         "cross-product MLP (flagship configs enable it)")
     p.add_argument("--sub-j", type=int, default=32)
     p.add_argument("--tile-i", type=int, default=16)
+    p.add_argument("--type-bias", action="store_true",
+                   help="include the (2,2,F) edge-type table (flagship "
+                        "configs have one; its per-node parts are folded)")
     args = p.parse_args()
 
     _cache()
@@ -122,13 +127,14 @@ def main():
     from diffsbdd_tpu.ops import egnn_pallas as K
 
     inp = realistic_inputs(args.batch, args.n, args.f)
+    tb = inp["tb"] if args.type_bias else None
     cutoffs = (None, 5.0, 5.0)
     kw = dict(cutoffs=cutoffs, attention=True, normalization_factor=100.0)
 
     def gcl_step(a_row):
         out = K.gcl_message_agg_pallas(
             a_row, inp["a_col"], inp["x"], inp["x0"], inp["mask"],
-            inp["is_lig"], inp["w_d2"], inp["w_d20"], None, inp["w2"],
+            inp["is_lig"], inp["w_d2"], inp["w_d20"], tb, inp["w2"],
             inp["b2"], inp["w_att"], inp["b_att"],
             mxu_precision=args.precision, sub_j=args.sub_j,
             tile_i=args.tile_i, **kw)
@@ -151,7 +157,7 @@ def main():
     def coord_step(x):
         out = K.coord_update_agg_pallas(
             inp["a_row"], inp["a_col"], x, inp["x0"], inp["mask"],
-            inp["is_lig"], inp["w_d2"], inp["w_d20"], None, inp["w2"],
+            inp["is_lig"], inp["w_d2"], inp["w_d20"], tb, inp["w2"],
             inp["b2"], inp["w3"], mxu_precision=args.precision,
             sub_j=args.sub_j, tile_i=args.tile_i, cross=cross,
             graph_mean=graph_mean, **ckw)
@@ -169,7 +175,7 @@ def main():
             with jax.default_matmul_precision("float32"):
                 out = K.gcl_message_agg_xla(
                     a_row, inp["a_col"], inp["x"], inp["x0"], inp["mask"],
-                    inp["is_lig"], inp["w_d2"], inp["w_d20"], None,
+                    inp["is_lig"], inp["w_d2"], inp["w_d20"], tb,
                     inp["w2"], inp["b2"], inp["w_att"], inp["b_att"], **kw)
             return out * 0.05 + 0.1
 

@@ -80,17 +80,15 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
     """Per-pair first-layer contribution of the edge features.
 
     Edge features are [d2_current, d2_initial(, edge_type_embedding)]; the
-    projected type embedding enters as a (2, 2, F) table expanded with
-    is-ligand indicator outer products (gather-free)."""
+    per-node parts of the projected (2, 2, F) edge-type table are folded into
+    the row/col projections by ``fold_type_bias`` before the kernel launches
+    (the wrappers do this), so only the rank-1 ``lig_i*lig_j`` delta term —
+    here a (1, F) row — remains pairwise (one outer product instead of four)."""
     out = d2[:, :, None] * w_d2[None, None, :] \
         + d2_0[:, :, None] * w_d20[None, None, :]
     if type_bias is not None:
-        li = lig_i[:, :, None]   # (ti, 1, 1)
-        lj = lig_j[:, :, None]   # (1, tj, 1)
-        out = out + (1 - li) * (1 - lj) * type_bias[0, 0][None, None, :] \
-            + (1 - li) * lj * type_bias[0, 1][None, None, :] \
-            + li * (1 - lj) * type_bias[1, 0][None, None, :] \
-            + li * lj * type_bias[1, 1][None, None, :]
+        ll = lig_i * lig_j                      # (ti, tj)
+        out = out + ll[:, :, None] * type_bias[0][None, None, :]
     return out
 
 
@@ -108,36 +106,55 @@ _PRECISIONS = {
 }
 
 
-def _dot(m, w, mxu):
+def _prep_w(w, mxu):
+    """Weight-side prep for the split-dot modes, hoisted out of the j-tile
+    loop so the constant weights are split once per kernel invocation rather
+    than once per active sub-block."""
+    if w is None:
+        return None
+    if mxu == "bf16_3x":
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (w_hi, w_lo)
+    return (w,)
+
+
+def _dot(m, wp, mxu):
+    """Dot of an in-kernel activation against a ``_prep_w``-prepped weight."""
     if mxu == "bf16_3x":
         # precision must be explicit: an ambient default_matmul_precision
         # (e.g. 'tensorfloat32' -> HIGH) is not lowerable by Mosaic
         dflt = jax.lax.Precision.DEFAULT
+        w_hi, w_lo = wp
         m_hi = m.astype(jnp.bfloat16)
         m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        w_hi = w.astype(jnp.bfloat16)
-        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = jnp.dot(m_hi, w_hi, preferred_element_type=jnp.float32,
                       precision=dflt)
         acc = acc + jnp.dot(m_hi, w_lo, preferred_element_type=jnp.float32,
                             precision=dflt)
         return acc + jnp.dot(m_lo, w_hi, preferred_element_type=jnp.float32,
                              precision=dflt)
+    (w,) = wp
     return jnp.dot(m, w, preferred_element_type=jnp.float32, precision=mxu)
 
 
 def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
-              w2, b2, w3, mxu):
-    """silu(first layer) -> silu(dense) -> dense(head): shared tile helper."""
+              w2p, b2, w3p, mxu):
+    """silu(first layer) -> silu(dense) -> dense(head): shared tile helper.
+
+    ``w2p``/``w3p`` are ``_prep_w``-prepped weights.  The (F, 1) scalar head
+    stays an MXU dot: a VPU multiply-reduce alternative was measured ~25%
+    slower end-to-end — the matvec pipelines in parallel with the VPU's
+    elementwise work, the lane reduction does not."""
     ti = a_i.shape[0]
     tj = a_j.shape[0]
     pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
         d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     m = _silu(pre).reshape(ti * tj, -1)
-    m = _silu(_dot(m, w2, mxu) + b2)
-    if w3 is None:
+    m = _silu(_dot(m, w2p, mxu) + b2)
+    if w3p is None:
         return m
-    return _dot(m, w3, mxu).reshape(ti, tj)
+    return _dot(m, w3p, mxu).reshape(ti, tj)
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +178,8 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
         mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         type_bias = tbias_ref[:] if has_type_bias else None
+        w2p = _prep_w(w2_ref[:], mxu)
+        wattp = _prep_w(watt_ref[:], mxu) if attention else None
 
         def body(j, acc):
             tj = tile_j
@@ -181,15 +200,14 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                 m = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                               lig_i, lig_j[:, sl],
                               wd2_ref[0], wd20_ref[0], type_bias,
-                              w2_ref[:], b2_ref[0], None, mxu)
+                              w2p, b2_ref[0], None, mxu)
                 # adjacency folded into the attention gate: adj is exactly
                 # {0,1}, so m*(att*adj) == (m*att)*adj bit-for-bit, one
                 # F-wide multiply cheaper
                 sub = sl.stop - sl.start
                 gate = adj[:, sl][:, :, None]
                 if attention:
-                    att = jax.nn.sigmoid(_dot(m, watt_ref[:], mxu)
-                                         + batt_ref[0])
+                    att = jax.nn.sigmoid(_dot(m, wattp, mxu) + batt_ref[0])
                     gate = gate * att.reshape(ti, sub, 1)
                 return jnp.sum(m.reshape(ti, sub, -1) * gate, axis=1)
 
@@ -226,9 +244,12 @@ def gcl_message_agg_pallas(
     """
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
-    has_type_bias = type_bias is not None
-    if type_bias is None:
-        type_bias = jnp.zeros((2, 2, F), a_row.dtype)
+    # per-node parts of the edge-type table move into a_row/a_col; only the
+    # rank-1 lig_i*lig_j delta stays pairwise inside the kernel
+    a_row, a_col, type_delta = fold_type_bias(a_row, a_col, is_lig, type_bias)
+    has_type_bias = type_delta is not None
+    if type_delta is None:
+        type_delta = jnp.zeros((F,), a_row.dtype)
     if w_att is None:
         w_att = jnp.zeros((F, 1), a_row.dtype)
         b_att = jnp.zeros((1,), a_row.dtype)
@@ -265,7 +286,7 @@ def gcl_message_agg_pallas(
             pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
-            const2((1, F)), const2((1, F)), const2((2, 2, F)),
+            const2((1, F)), const2((1, F)), const2((1, F)),
             const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
         ],
         out_specs=pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
@@ -273,7 +294,7 @@ def gcl_message_agg_pallas(
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=interpret,
     )(a_row, a_col, x, x_t, x0, x0_t, mask_row, mask_col, lig_row, lig_col,
-      w_d2.reshape(1, F), w_d20.reshape(1, F), type_bias,
+      w_d2.reshape(1, F), w_d20.reshape(1, F), type_delta.reshape(1, F),
       w2, b2.reshape(1, F), w_att, b_att.reshape(1, 1))
 
 
@@ -309,10 +330,14 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
         mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
         type_bias = tbias_ref[:] if has_type_bias else None
+        w2p = _prep_w(w2_ref[:], mxu)
+        w3p = _prep_w(w3_ref[:], mxu)
         if not reflection_equiv:
             c_i = c_row_ref[0]
             mean = mean_ref[0]  # (1, 3)
             ctype_bias = ctbias_ref[:] if has_type_bias else None
+            cw2p = _prep_w(cw2_ref[:], mxu)
+            cw3p = _prep_w(cw3_ref[:], mxu)
 
         def body(j, acc):
             tj = tile_j
@@ -333,7 +358,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                 phi = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                                 lig_i, lig_j[:, sl],
                                 wd2_ref[0], wd20_ref[0], type_bias,
-                                w2_ref[:], b2_ref[0], w3_ref[:], mxu)
+                                w2p, b2_ref[0], w3p, mxu)
                 if tanh:
                     phi = jnp.tanh(phi) * coords_range
                 norm = jnp.sqrt(d2[:, sl] + 1e-8) + norm_constant
@@ -343,7 +368,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                     phi_c = _pair_mlp(c_i, c_j[sl], d2[:, sl], d2_0[:, sl],
                                       lig_i, lig_j[:, sl],
                                       cwd2_ref[0], cwd20_ref[0], ctype_bias,
-                                      cw2_ref[:], cb2_ref[0], cw3_ref[:], mxu)
+                                      cw2p, cb2_ref[0], cw3p, mxu)
                     if tanh:
                         phi_c = jnp.tanh(phi_c) * coords_range
                     # centered coordinates: rows (ti, 1), cols (1, sub_j)
@@ -353,7 +378,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                     cx = xi[1] * xj[2] - xi[2] * xj[1]
                     cy = xi[2] * xj[0] - xi[0] * xj[2]
                     cz = xi[0] * xj[1] - xi[1] * xj[0]
-                    cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz) \
+                    cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz + 1e-8) \
                         + norm_constant
                     wc = phi_c / cnorm * adj[:, sl]
                     cross = (cx, cy, cz)
@@ -410,9 +435,10 @@ def coord_update_agg_pallas(
         n_row_tiles = min(n_row_tiles, -(-int(update_rows) // tile_i))
     n_rows_out = n_row_tiles * tile_i
     reflection_equiv = cross is None
-    has_type_bias = type_bias is not None
-    if type_bias is None:
-        type_bias = jnp.zeros((2, 2, F), a_row.dtype)
+    a_row, a_col, type_delta = fold_type_bias(a_row, a_col, is_lig, type_bias)
+    has_type_bias = type_delta is not None
+    if type_delta is None:
+        type_delta = jnp.zeros((F,), a_row.dtype)
 
     kernel = _make_coord_kernel(
         n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
@@ -439,8 +465,12 @@ def coord_update_agg_pallas(
     in_specs = [row_spec, col_spec]
     args = [a_row, a_col]
     if not reflection_equiv:
+        c_row, c_col, c_delta = fold_type_bias(
+            cross["a_row"], cross["a_col"], is_lig, cross["type_bias"])
+        if c_delta is None:
+            c_delta = jnp.zeros((F,), a_row.dtype)
         in_specs += [row_spec, col_spec]
-        args += [cross["a_row"], cross["a_col"]]
+        args += [c_row, c_col]
     in_specs += [x_spec, xt_spec, x_spec, xt_spec]
     args += [x, x_t, x0, x0_t]
     if not reflection_equiv:
@@ -448,20 +478,18 @@ def coord_update_agg_pallas(
                                   memory_space=pltpu.VMEM)]
         args += [graph_mean.reshape(B, 1, 3)]
     in_specs += [nrow_spec, ncol_spec, nrow_spec, ncol_spec,
-                 const2((1, F)), const2((1, F)), const2((2, 2, F)),
+                 const2((1, F)), const2((1, F)), const2((1, F)),
                  const2((F, F)), const2((1, F)), const2((F, 1))]
     args += [mask[..., None], mask[:, None, :],
              is_lig[..., None], is_lig[:, None, :],
              w_d2.reshape(1, F), w_d20.reshape(1, F),
-             type_bias, w2, b2.reshape(1, F), w3]
+             type_delta.reshape(1, F), w2, b2.reshape(1, F), w3]
     if not reflection_equiv:
-        ctb = cross["type_bias"]
-        if ctb is None:
-            ctb = jnp.zeros((2, 2, F), a_row.dtype)
-        in_specs += [const2((1, F)), const2((1, F)), const2((2, 2, F)),
+        in_specs += [const2((1, F)), const2((1, F)), const2((1, F)),
                      const2((F, F)), const2((1, F)), const2((F, 1))]
         args += [cross["w_d2"].reshape(1, F), cross["w_d20"].reshape(1, F),
-                 ctb, cross["w2"], cross["b2"].reshape(1, F), cross["w3"]]
+                 c_delta.reshape(1, F), cross["w2"],
+                 cross["b2"].reshape(1, F), cross["w3"]]
 
     out = pl.pallas_call(
         kernel,
@@ -557,7 +585,11 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
         cr = jnp.cross(
             jnp.broadcast_to(xc[:, :, None, :], d2.shape + (3,)),
             jnp.broadcast_to(xc[:, None, :, :], d2.shape + (3,)))
-        cnorm = jnp.linalg.norm(cr, axis=-1, keepdims=True) + norm_constant
+        # guarded norm: zero cross products (diagonal, coincident padded
+        # nodes) otherwise NaN the backward pass (this mirror IS the
+        # backward of the fused kernel)
+        cnorm = jnp.sqrt(jnp.sum(cr**2, axis=-1, keepdims=True) + 1e-8) \
+            + norm_constant
         trans = trans + cr / cnorm * phi_c[..., None]
 
     trans = trans * adj[..., None]

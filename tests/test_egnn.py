@@ -261,10 +261,12 @@ def test_cross_product_grads_finite():
     """Backward through the SE(3) cross-product term must be NaN-free.
 
     cross(xc_i, xc_j) is exactly zero on the diagonal and for coincident
-    padded nodes; an unguarded norm has an infinite JAX gradient there and
-    inf*0 poisons every parameter grad (torch's norm subgradient at 0 is 0,
-    so the reference never sees this).  Regression for the flagship
-    reflection_equivariant=False training configuration."""
+    padded nodes; an unguarded norm has an infinite gradient there and inf*0
+    poisons every parameter grad (torch's norm subgradient at 0 is 0, so the
+    reference never sees this).  NOTE the unguarded form only NaNs under the
+    TPU backward lowering — CPU's happens to cancel — so on the CPU test
+    platform this is a property check; the measured TPU repro is recorded in
+    NOTES.md (110 non-finite grad leaves at the flagship config pre-fix)."""
     h, x, adj, mask = make_graph(jax.random.PRNGKey(11))
     # coincident nodes: two padded rows at the origin + a duplicated pair
     x = x.at[0, 3].set(x[0, 2])

@@ -99,8 +99,12 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
     # segmented dispatch: identical chain, but each device dispatch stays
     # short (the tunnel enforces per-execution limits); overhead is a few ms
     def sample(key):
+        # shared_pocket: get_pocket replicates ONE pocket across the batch
+        # (the generate_ligands layout), enabling the batch-invariant
+        # first-layer factorization
         return module.ddpm.sample_given_pocket_segmented(
-            params, key, pocket, lig_mask, timesteps=T, segment=50)
+            params, key, pocket, lig_mask, timesteps=T, segment=50,
+            shared_pocket=True)
 
     def sync(out):
         # jax.block_until_ready does NOT wait for device completion through
@@ -113,7 +117,7 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
     # compiled 50-step segment + decode functions
     warm = module.ddpm.sample_given_pocket_segmented(
         params, jax.random.PRNGKey(1), pocket, lig_mask, timesteps=100,
-        segment=50)
+        segment=50, shared_pocket=True)
     sync(warm)
 
     times = []
@@ -132,7 +136,7 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
     seg = lambda: ddpm._denoise_segment(
         params, jax.random.PRNGKey(4), z_lig, xh_pkt, lig_mask,
         npocket["mask"], jnp.asarray(T - 1, jnp.float32), n_steps=50,
-        timesteps=T)
+        timesteps=T, shared_pocket=True)
     sync(seg())
     t0 = time.perf_counter()
     sync(seg())

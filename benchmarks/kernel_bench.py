@@ -108,8 +108,8 @@ def main():
     p.add_argument("--f", type=int, default=256)
     p.add_argument("--skip-xla", action="store_true")
     p.add_argument("--precision", default="float32",
-                   choices=["float32", "float32_x3", "bfloat16",
-                            "tensorfloat32"])
+                   choices=["float32", "float32_x3", "float32_x2",
+                            "bfloat16", "tensorfloat32"])
     p.add_argument("--with-cross", action="store_true",
                    help="time the coordinate kernel with the SE(3) "
                         "cross-product MLP (flagship configs enable it)")

@@ -27,6 +27,7 @@ def main():
     p.add_argument("--T", type=int, default=500)
     p.add_argument("--segments", type=int, nargs="+", default=[50, 100, 250])
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--shared-pocket", action="store_true")
     args = p.parse_args()
 
     from benchmarks.kernel_bench import _cache
@@ -53,7 +54,8 @@ def main():
     for seg in args.segments:
         def sample(key):
             return module.ddpm.sample_given_pocket_segmented(
-                params, key, pocket, lig_mask, timesteps=args.T, segment=seg)
+                params, key, pocket, lig_mask, timesteps=args.T, segment=seg,
+                shared_pocket=args.shared_pocket)
 
         r = sample(jax.random.PRNGKey(1))
         float(jnp.sum(r[0]))  # compile + warm

@@ -123,9 +123,11 @@ class DDPMBase:
             return self.gamma_module.apply(params["gamma"], t)
         return self.gamma_table(t)
 
-    def apply_dynamics(self, params, xh_lig, xh_pkt, t, m_l, m_p):
+    def apply_dynamics(self, params, xh_lig, xh_pkt, t, m_l, m_p,
+                       shared_pocket: bool = False):
         return self.dynamics.apply(
-            params["dynamics"], xh_lig, xh_pkt, t, m_l, m_p)
+            params["dynamics"], xh_lig, xh_pkt, t, m_l, m_p,
+            shared_pocket=shared_pocket)
 
     def normalize(self, ligand: Optional[Batch] = None, pocket: Optional[Batch] = None):
         """x /= norm_x; one_hot = (one_hot - bias) / norm_h (en_diffusion.py:880-895)."""
@@ -887,8 +889,14 @@ class ConditionalDDPM(DDPMBase):
             xh_lig_hat=xh_lig_hat, info=info)
 
     # --------------------------------------------------------------- sampling
-    def _denoise_step(self, params, key, z_lig, xh_pkt, m_l, m_p, s_norm, t_norm):
-        """One ligand ancestral step (conditional_model.py:432-464)."""
+    def _denoise_step(self, params, key, z_lig, xh_pkt, m_l, m_p, s_norm,
+                      t_norm, shared_pocket: bool = False):
+        """One ligand ancestral step (conditional_model.py:432-464).
+
+        ``shared_pocket=True`` enables the batch-invariant pocket
+        factorization in the first GCL — valid only when one pocket is
+        replicated across the batch (the generate_ligands/test-set sampling
+        layout, lightning_modules.py:797 ``repeats=n_samples``)."""
         gamma_s = self.gamma(params, s_norm)
         gamma_t = self.gamma(params, t_norm)
         sigma2_tgs, sigma_tgs, alpha_tgs = sched.sigma_and_alpha_t_given_s(
@@ -896,7 +904,8 @@ class ConditionalDDPM(DDPMBase):
         sigma_s = self.sigma(gamma_s)[:, None, :]
         sigma_t = self.sigma(gamma_t)[:, None, :]
 
-        eps_lig, _ = self.apply_dynamics(params, z_lig, xh_pkt, t_norm, m_l, m_p)
+        eps_lig, _ = self.apply_dynamics(params, z_lig, xh_pkt, t_norm, m_l,
+                                         m_p, shared_pocket=shared_pocket)
         coef = (sigma2_tgs / alpha_tgs / sigma_t[:, :, 0])[:, None, :]
         mu_lig = z_lig / alpha_tgs[:, None, :] - coef * eps_lig
         sigma = sigma_tgs[:, None, :] * sigma_s / sigma_t
@@ -942,9 +951,11 @@ class ConditionalDDPM(DDPMBase):
             key, mu * lig_mask[..., None], _xh(pocket), sigma, lig_mask,
             pocket["mask"])
 
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("timesteps",))
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("timesteps", "shared_pocket"))
     def sample_given_pocket(self, params, rng, pocket: Batch, lig_mask,
-                            timesteps: Optional[int] = None):
+                            timesteps: Optional[int] = None,
+                            shared_pocket: bool = False):
         """Pocket-conditional generation as a single on-chip scan
         (reference loop: conditional_model.py:478-555)."""
         timesteps = self.T if timesteps is None else timesteps
@@ -961,7 +972,8 @@ class ConditionalDDPM(DDPMBase):
             s_arr = jnp.full((B, 1), s, jnp.float32) / timesteps
             t_arr = jnp.full((B, 1), s + 1, jnp.float32) / timesteps
             z_lig, xh_pkt = self._denoise_step(
-                params, key, z_lig, xh_pkt, lig_mask, m_p, s_arr, t_arr)
+                params, key, z_lig, xh_pkt, lig_mask, m_p, s_arr, t_arr,
+                shared_pocket=shared_pocket)
             return (z_lig, xh_pkt), None
 
         (z_lig, xh_pkt), _ = jax.lax.scan(
@@ -977,9 +989,10 @@ class ConditionalDDPM(DDPMBase):
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
     @partial(jax.jit, static_argnums=(0,),
-             static_argnames=("n_steps", "timesteps"))
+             static_argnames=("n_steps", "timesteps", "shared_pocket"))
     def _denoise_segment(self, params, rng, z_lig, xh_pkt, lig_mask, pkt_mask,
-                         s_start, n_steps: int, timesteps: int):
+                         s_start, n_steps: int, timesteps: int,
+                         shared_pocket: bool = False):
         """n_steps consecutive reverse steps starting at s = s_start
         (descending).  Used by the segmented sampler."""
         B = lig_mask.shape[0]
@@ -991,7 +1004,8 @@ class ConditionalDDPM(DDPMBase):
             s_arr = jnp.full((B, 1), sv, jnp.float32) / timesteps
             t_arr = (jnp.full((B, 1), sv, jnp.float32) + 1) / timesteps
             z_lig, xh_pkt = self._denoise_step(
-                params, key, z_lig, xh_pkt, lig_mask, pkt_mask, s_arr, t_arr)
+                params, key, z_lig, xh_pkt, lig_mask, pkt_mask, s_arr, t_arr,
+                shared_pocket=shared_pocket)
             return (z_lig, xh_pkt), None
 
         (z_lig, xh_pkt), _ = jax.lax.scan(
@@ -1000,7 +1014,8 @@ class ConditionalDDPM(DDPMBase):
 
     def sample_given_pocket_segmented(self, params, rng, pocket: Batch,
                                       lig_mask, timesteps: Optional[int] = None,
-                                      segment: int = 100):
+                                      segment: int = 100,
+                                      shared_pocket: bool = False):
         """Same chain as ``sample_given_pocket`` but dispatched in
         ``segment``-step jitted chunks.  Numerically identical trajectory
         structure (per-step keys are folded from the scan key), with host
@@ -1017,7 +1032,8 @@ class ConditionalDDPM(DDPMBase):
             n = min(segment, s + 1)
             z_lig, xh_pkt = self._denoise_segment(
                 params, k_scan, z_lig, xh_pkt, lig_mask, m_p,
-                jnp.asarray(s, jnp.float32), n_steps=n, timesteps=timesteps)
+                jnp.asarray(s, jnp.float32), n_steps=n, timesteps=timesteps,
+                shared_pocket=shared_pocket)
             s -= n
 
         x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(

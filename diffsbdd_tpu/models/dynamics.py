@@ -118,16 +118,21 @@ class EGNNDynamics(nn.Module):
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     @nn.compact
-    def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
+    def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
+                 shared_pocket: bool = False):
         # 'float32_x3': exact f32 for the XLA glue, 3-pass bf16-split dots
         # inside the Pallas kernels (fp32-grade except extreme cancellation,
-        # half the MXU passes of HIGHEST)
-        ambient = {"float32_x3": "float32"}.get(
+        # half the MXU passes of HIGHEST); 'float32_x2' drops one more pass
+        # (~1e-3 relative in-kernel dots, see benchmarks/precision_validation)
+        ambient = {"float32_x3": "float32",
+                   "float32_x2": "float32"}.get(
             self.matmul_precision, self.matmul_precision)
         with jax.default_matmul_precision(ambient):
-            return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt)
+            return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt,
+                                 shared_pocket)
 
-    def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
+    def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
+                 shared_pocket: bool = False):
         B, NL = mask_lig.shape
         NP = mask_pkt.shape[1]
         nd = self.n_dims
@@ -183,6 +188,12 @@ class EGNNDynamics(nn.Module):
                                  # needs the leading NL rows
                                  update_rows=None
                                  if self.update_pocket_coords else NL,
+                                 # sampling-only factorization: valid when
+                                 # one pocket is replicated across the batch
+                                 # and t is per-step uniform (see DenseGCL)
+                                 shared_pocket_first_layer=bool(shared_pocket)
+                                 and not self.update_pocket_coords,
+                                 n_lig_rows=NL,
                                  mxu_precision=self.matmul_precision)
             else:
                 fused_ctx = None

@@ -197,11 +197,8 @@ class DenseGCL(nn.Module):
         if fused_ctx is not None and self.impl == "pallas":
             assert self.aggregation_method == "sum"
             a_row, a_col, w_d2, w_d20, w_types = _split_first_layer(k1, b1, h)
-            agg = fused.gcl_message_agg(
-                a_row, a_col, fused_ctx["x"], fused_ctx["x0"],
-                fused_ctx["mask"], fused_ctx["is_lig"], w_d2, w_d20,
-                _type_bias_table(fused_ctx["type_table"], w_types),
-                k2, b2, k_att, b_att,
+            tb = _type_bias_table(fused_ctx["type_table"], w_types)
+            kw = dict(
                 cutoffs=fused_ctx["cutoffs"], attention=self.attention,
                 normalization_factor=self.normalization_factor,
                 impl="pallas", tile_i=fused_ctx["tile_i"],
@@ -209,6 +206,35 @@ class DenseGCL(nn.Module):
                 sub_j=fused_ctx.get("sub_j", fused.SUB_J),
                 mxu_precision=fused_ctx.get("mxu_precision", "float32"),
                 interpret=self.interpret)
+            x, x0 = fused_ctx["x"], fused_ctx["x0"]
+            mask, is_lig = fused_ctx["mask"], fused_ctx["is_lig"]
+            if fused_ctx.get("shared_pocket_first_layer"):
+                # Sampling workload factorization: one pocket replicated
+                # across the batch + a per-step-uniform time channel make the
+                # first GCL's pocket-row/pocket-col aggregation identical for
+                # every sample, so it is computed once (B=1) and broadcast;
+                # only the ligand-touching parts run per sample.  Exact
+                # partition of the (row, col) space — see
+                # test_shared_pocket_factorization.
+                pkt_mask = mask * (1.0 - is_lig)
+                lig_cols = mask * is_lig
+                one = lambda t: t[:1]
+                agg_pp = fused.gcl_message_agg(
+                    one(a_row), one(a_col), one(x), one(x0), one(pkt_mask),
+                    one(is_lig), w_d2, w_d20, tb, k2, b2, k_att, b_att,
+                    col_mask=one(pkt_mask), **kw)
+                agg_pl = fused.gcl_message_agg(
+                    a_row, a_col, x, x0, pkt_mask, is_lig, w_d2, w_d20, tb,
+                    k2, b2, k_att, b_att, col_mask=lig_cols, **kw)
+                agg_lr = fused.gcl_message_agg(
+                    a_row, a_col, x, x0, lig_cols, is_lig, w_d2, w_d20, tb,
+                    k2, b2, k_att, b_att, col_mask=mask,
+                    update_rows=fused_ctx["n_lig_rows"], **kw)
+                agg = jnp.broadcast_to(agg_pp, a_row.shape) + agg_pl + agg_lr
+            else:
+                agg = fused.gcl_message_agg(
+                    a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, tb,
+                    k2, b2, k_att, b_att, **kw)
         else:
             cd = self.compute_dtype
             # bf16 compute halves the HBM traffic of the O(N^2) message
@@ -442,6 +468,10 @@ class EquivariantBlock(nn.Module):
         for i in range(self.n_layers):
             if use_fused:
                 ctx["x"] = x  # current coordinates for this block's distances
+                if i > 0:
+                    # the batch-invariant pocket factorization only holds for
+                    # the very first GCL (pocket h diverges per sample after)
+                    ctx["shared_pocket_first_layer"] = False
             h = gcls[i](h, edge_feat, adj, node_mask, fused_ctx=ctx)
         x = equiv(h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
                   update_coords_mask, fused_ctx=ctx)
@@ -500,6 +530,10 @@ class EGNN(nn.Module):
 
         h = nn.Dense(self.hidden_nf, name="embedding")(h)
         for i in range(self.n_layers):
+            blk_ctx = ctx
+            if use_fused and i > 0:
+                blk_ctx = dict(ctx)
+                blk_ctx["shared_pocket_first_layer"] = False
             h, x = EquivariantBlock(
                 hidden_nf=self.hidden_nf, edge_feat_nf=edge_feat_nf,
                 n_layers=self.inv_sublayers, attention=self.attention,
@@ -512,7 +546,7 @@ class EGNN(nn.Module):
                 interpret=self.interpret, compute_dtype=self.compute_dtype,
                 name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_feat0, update_coords_mask,
-                fused_ctx=ctx)
+                fused_ctx=blk_ctx)
 
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None], x

@@ -101,6 +101,7 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
 _PRECISIONS = {
     "float32": jax.lax.Precision.HIGHEST,      # exact (3e-8 vs XLA f32, meas.)
     "float32_x3": "bf16_3x",                   # kernel dots split; glue f32
+    "float32_x2": "bf16_2x",                   # 2-pass split (~1e-3 rel dots)
     "tensorfloat32": "bf16_3x",                # manual split, see _dot
     "bfloat16": jax.lax.Precision.DEFAULT,     # 1-pass; fastest, ~3e-3 rel
 }
@@ -112,7 +113,7 @@ def _prep_w(w, mxu):
     than once per active sub-block."""
     if w is None:
         return None
-    if mxu == "bf16_3x":
+    if mxu in ("bf16_3x", "bf16_2x"):
         w_hi = w.astype(jnp.bfloat16)
         w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return (w_hi, w_lo)
@@ -121,7 +122,7 @@ def _prep_w(w, mxu):
 
 def _dot(m, wp, mxu):
     """Dot of an in-kernel activation against a ``_prep_w``-prepped weight."""
-    if mxu == "bf16_3x":
+    if mxu in ("bf16_3x", "bf16_2x"):
         # precision must be explicit: an ambient default_matmul_precision
         # (e.g. 'tensorfloat32' -> HIGH) is not lowerable by Mosaic
         dflt = jax.lax.Precision.DEFAULT
@@ -130,9 +131,13 @@ def _dot(m, wp, mxu):
         m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = jnp.dot(m_hi, w_hi, preferred_element_type=jnp.float32,
                       precision=dflt)
-        acc = acc + jnp.dot(m_hi, w_lo, preferred_element_type=jnp.float32,
+        acc = acc + jnp.dot(m_lo, w_hi, preferred_element_type=jnp.float32,
                             precision=dflt)
-        return acc + jnp.dot(m_lo, w_hi, preferred_element_type=jnp.float32,
+        if mxu == "bf16_2x":
+            # drop the m_hi@w_lo term (~2^-9 relative): one fewer MXU pass;
+            # activation low bits are kept, weight low bits are not
+            return acc
+        return acc + jnp.dot(m_hi, w_lo, preferred_element_type=jnp.float32,
                              precision=dflt)
     (w,) = wp
     return jnp.dot(m, w, preferred_element_type=jnp.float32, precision=mxu)
@@ -211,17 +216,28 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                     gate = gate * att.reshape(ti, sub, 1)
                 return jnp.sum(m.reshape(ti, sub, -1) * gate, axis=1)
 
-            # sub-tile skipping: cutoff sparsity makes many 32-column blocks
-            # edge-free (38% active on the 3rfm pocket at 5 A); the MLPs only
-            # run for active blocks, the cheap d2/adjacency always runs
+            # two-level skipping: a whole-tile cond skips the per-sub-block
+            # conds (and their any-reductions) on fully edge-free (ti, tj)
+            # tiles, then cutoff sparsity skips the MLPs per 32-column block
+            # (38% of 16x32 blocks active on the 3rfm pocket at 5 A); the
+            # cheap d2/adjacency always runs
             F_out = out_ref.shape[2]
-            for k in range(tile_j // sub_j):
-                sl = slice(k * sub_j, (k + 1) * sub_j)
-                acc = acc + jax.lax.cond(
-                    jnp.any(adj[:, sl] > 0),
-                    lambda sl=sl: compute_sub(sl),
-                    lambda: jnp.zeros((ti, F_out), jnp.float32))
-            return acc
+            zeros = lambda: jnp.zeros((ti, F_out), jnp.float32)
+
+            def all_subs():
+                inner = zeros()
+                for k in range(tile_j // sub_j):
+                    sl = slice(k * sub_j, (k + 1) * sub_j)
+                    inner = inner + jax.lax.cond(
+                        jnp.any(adj[:, sl] > 0),
+                        lambda sl=sl: compute_sub(sl), zeros)
+                return inner
+
+            if tile_j // sub_j == 1:
+                sl = slice(0, sub_j)
+                return acc + jax.lax.cond(
+                    jnp.any(adj > 0), lambda: compute_sub(sl), zeros)
+            return acc + jax.lax.cond(jnp.any(adj > 0), all_subs, zeros)
 
         acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
         acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
@@ -234,16 +250,29 @@ def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
         tile_i=TILE_I, tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-        interpret=False):
+        col_mask=None, update_rows=None, interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
     a_row/a_col: per-node projections of h through the split first-layer
     kernel (first-layer bias folded into a_row); w_d2/w_d20: first-layer rows
     for the two distance features; type_bias: optional (2, 2, F) projected
     edge-type table.
+
+    ``col_mask``: optional separate validity mask for the column (neighbor)
+    side — lets callers aggregate over a node subset (e.g. pocket-only or
+    ligand-only columns) without materializing masked copies.
+
+    ``update_rows``: when only the leading ``update_rows`` rows' aggregates
+    are consumed, the grid is truncated to those row tiles and the remaining
+    rows are returned as exact zeros (nodes are laid out ligand-first, so
+    ligand-row-only aggregation is the leading-tiles case).
     """
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
+    n_row_tiles = N // tile_i
+    if update_rows is not None:
+        n_row_tiles = min(n_row_tiles, -(-int(update_rows) // tile_i))
+    n_rows_out = n_row_tiles * tile_i
     # per-node parts of the edge-type table move into a_row/a_col; only the
     # rank-1 lig_i*lig_j delta stays pairwise inside the kernel
     a_row, a_col, type_delta = fold_type_bias(a_row, a_col, is_lig, type_bias)
@@ -267,13 +296,13 @@ def gcl_message_agg_pallas(
     x_t = jnp.swapaxes(x, 1, 2)      # (B, 3, N): lane-major column layout
     x0_t = jnp.swapaxes(x0, 1, 2)
     mask_row = mask[..., None]       # (B, N, 1): sublane-major row layout
-    mask_col = mask[:, None, :]      # (B, 1, N)
+    mask_col = (mask if col_mask is None else col_mask)[:, None, :]  # (B,1,N)
     lig_row = is_lig[..., None]
     lig_col = is_lig[:, None, :]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B, N // tile_i),
+        grid=(B, n_row_tiles),
         in_specs=[
             pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -291,11 +320,14 @@ def gcl_message_agg_pallas(
         ],
         out_specs=pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_rows_out, F), jnp.float32),
         interpret=interpret,
     )(a_row, a_col, x, x_t, x0, x0_t, mask_row, mask_col, lig_row, lig_col,
       w_d2.reshape(1, F), w_d20.reshape(1, F), type_delta.reshape(1, F),
       w2, b2.reshape(1, F), w_att, b_att.reshape(1, 1))
+    if n_rows_out < N:
+        out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -393,13 +425,24 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                     cols.append(t_a)
                 return jnp.concatenate(cols, axis=1)
 
-            for k in range(tile_j // sub_j):
-                sl = slice(k * sub_j, (k + 1) * sub_j)
-                acc = acc + jax.lax.cond(
-                    jnp.any(adj[:, sl] > 0),
-                    lambda sl=sl: compute_sub(sl),
-                    lambda: jnp.zeros((ti, 3), jnp.float32))
-            return acc
+            # two-level skipping as in the GCL kernel: whole-tile cond, then
+            # per-32-column-block conds
+            zeros = lambda: jnp.zeros((ti, 3), jnp.float32)
+
+            def all_subs():
+                inner = zeros()
+                for k in range(tile_j // sub_j):
+                    sl = slice(k * sub_j, (k + 1) * sub_j)
+                    inner = inner + jax.lax.cond(
+                        jnp.any(adj[:, sl] > 0),
+                        lambda sl=sl: compute_sub(sl), zeros)
+                return inner
+
+            if tile_j // sub_j == 1:
+                sl = slice(0, sub_j)
+                return acc + jax.lax.cond(
+                    jnp.any(adj > 0), lambda: compute_sub(sl), zeros)
+            return acc + jax.lax.cond(jnp.any(adj > 0), all_subs, zeros)
 
         acc = jnp.zeros((ti, 3), jnp.float32)
         acc = jax.lax.fori_loop(0, n_tiles_j, body, acc)
@@ -509,9 +552,10 @@ def coord_update_agg_pallas(
 # XLA mirrors (used for the custom-VJP backward pass and correctness tests)
 # ---------------------------------------------------------------------------
 
-def _adjacency_dense(d2, mask, is_lig, cutoffs):
+def _adjacency_dense(d2, mask, is_lig, cutoffs, col_mask=None):
     cutoff_l, cutoff_p, cutoff_i = cutoffs
-    valid = mask[:, :, None] * mask[:, None, :]
+    cm = mask if col_mask is None else col_mask
+    valid = mask[:, :, None] * cm[:, None, :]
     ll = is_lig[:, :, None] * is_lig[:, None, :]
     pp = (1 - is_lig)[:, :, None] * (1 - is_lig)[:, None, :]
     cross = 1.0 - ll - pp
@@ -536,7 +580,8 @@ def _edge_bias_dense(d2, d2_0, w_d2, w_d20, is_lig, type_bias):
 
 def gcl_message_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                         type_bias, w2, b2, w_att, b_att, *, cutoffs,
-                        attention, normalization_factor):
+                        attention, normalization_factor, col_mask=None,
+                        update_rows=None, tile_i=TILE_I):
     """Dense-XLA twin of the fused GCL kernel (same math, O(N^2) in HBM)."""
     d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
     d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
@@ -546,9 +591,15 @@ def gcl_message_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     m = _silu(m @ w2 + b2)
     if attention:
         m = m * jax.nn.sigmoid(m @ w_att + b_att)
-    adj = _adjacency_dense(d2_0, mask, is_lig, cutoffs)
+    adj = _adjacency_dense(d2_0, mask, is_lig, cutoffs, col_mask=col_mask)
     m = m * adj[..., None]
-    return jnp.sum(m, axis=2) / normalization_factor
+    agg = jnp.sum(m, axis=2) / normalization_factor
+    if update_rows is not None:
+        n_rows_out = min(agg.shape[1],
+                         -(-int(update_rows) // tile_i) * tile_i)
+        keep = (jnp.arange(agg.shape[1]) < n_rows_out)
+        agg = agg * keep[None, :, None]
+    return agg
 
 
 def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
@@ -609,11 +660,13 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
-    (cutoffs, attention, nf, tile_i, tile_j, sub_j, mxu_precision,
-     interpret) = cfg
+    (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
+     mxu_precision, interpret) = cfg
+    main, col_mask = operands
     return gcl_message_agg_pallas(
-        *operands, cutoffs=cutoffs, attention=attention,
+        *main, cutoffs=cutoffs, attention=attention,
         normalization_factor=nf, tile_i=tile_i, tile_j=tile_j, sub_j=sub_j,
+        col_mask=col_mask, update_rows=update_rows,
         mxu_precision=mxu_precision, interpret=interpret)
 
 
@@ -623,11 +676,14 @@ def _gcl_agg_fwd(cfg, operands):
 
 def _gcl_agg_bwd(cfg, operands, g):
     cutoffs, attention, nf = cfg[:3]
+    tile_i, update_rows = cfg[3], cfg[6]
 
     def f(ops):
+        main, col_mask = ops
         return gcl_message_agg_xla(
-            *ops, cutoffs=cutoffs, attention=attention,
-            normalization_factor=nf)
+            *main, cutoffs=cutoffs, attention=attention,
+            normalization_factor=nf, col_mask=col_mask,
+            update_rows=update_rows, tile_i=tile_i)
 
     _, vjp = jax.vjp(f, operands)
     return vjp(g)
@@ -640,18 +696,21 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-                    interpret=False):
+                    col_mask=None, update_rows=None, interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way."""
     if impl == "xla":
         return gcl_message_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
             b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
-            normalization_factor=normalization_factor)
+            normalization_factor=normalization_factor, col_mask=col_mask,
+            update_rows=update_rows, tile_i=tile_i)
     cfg = (tuple(cutoffs), attention, float(normalization_factor),
-           tile_i, tile_j, sub_j, mxu_precision, interpret)
-    operands = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
-                w2, b2, w_att, b_att)
-    return _gcl_agg_cvjp(cfg, operands)
+           tile_i, tile_j, sub_j,
+           None if update_rows is None else int(update_rows),
+           mxu_precision, interpret)
+    main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+            w2, b2, w_att, b_att)
+    return _gcl_agg_cvjp(cfg, (main, col_mask))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

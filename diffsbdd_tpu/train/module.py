@@ -353,10 +353,12 @@ class LigandPocketDDPM:
                 timesteps=timesteps, segment=50, **kwargs)
         else:
             # segmented dispatch keeps each device execution short while
-            # producing the identical trajectory (tested bit-equal)
+            # producing the identical trajectory (tested bit-equal);
+            # shared_pocket: prepare_pocket replicated ONE pocket across the
+            # batch, so the batch-invariant first-layer factorization applies
             xh_lig, xh_pocket = self.ddpm.sample_given_pocket_segmented(
                 params, rng, pocket, lig_mask, timesteps=timesteps,
-                segment=50)
+                segment=50, shared_pocket=True)
 
         # translate back into the original pocket frame
         pkt_m = np.asarray(pocket["mask"])

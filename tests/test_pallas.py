@@ -272,3 +272,42 @@ def test_coord_agg_update_rows_truncation():
         return jnp.sum(out ** 2)
     g = jax.grad(loss)(a_row)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_shared_pocket_factorization():
+    """shared_pocket=True (B=1 pocket-pocket block + per-sample ligand
+    parts) must equal the plain fused forward on the replicated-pocket
+    sampling layout — including per-sample rigid translations of the system,
+    which the conditional sampler's ligand-CoM frame introduces (pairwise
+    distances are translation-invariant, so the pocket block stays
+    batch-invariant)."""
+    from diffsbdd_tpu.models.dynamics import EGNNDynamics
+
+    key = jax.random.PRNGKey(7)
+    Bd, NL, NP, A, R = 3, 6, 11, 4, 5
+    ks = jax.random.split(key, 4)
+    m_l = jnp.ones((Bd, NL)).at[0, -2:].set(0.0)  # per-sample ligand sizes
+    m_p = jnp.ones((Bd, NP)).at[:, -3:].set(0.0)  # same pocket mask everywhere
+    xh_lig = jax.random.normal(ks[0], (Bd, NL, 3 + A)) * m_l[..., None]
+    one_pocket = jax.random.normal(ks[1], (1, NP, 3 + R)) * m_p[:1, ..., None]
+    xh_pkt = jnp.broadcast_to(one_pocket, (Bd, NP, 3 + R))
+    # per-sample translation of ligand+pocket (the ligand-CoM frame shift)
+    shift = jax.random.normal(ks[2], (Bd, 1, 3)) * 4.0
+    xh_lig = xh_lig.at[..., :3].add(shift * m_l[..., None])
+    xh_pkt = xh_pkt.at[..., :3].add(shift * m_p[..., None])
+    t = jnp.full((Bd, 1), 0.4)
+
+    common = dict(atom_nf=A, residue_nf=R, joint_nf=8, hidden_nf=16,
+                  n_layers=2, attention=True, tanh=True, inv_sublayers=1,
+                  norm_constant=1.0, update_pocket_coords=False,
+                  reflection_equivariant=False, edge_embedding_dim=4,
+                  edge_cutoff_pocket=5.0, edge_cutoff_interaction=7.0)
+    dyn = EGNNDynamics(**common, impl="pallas", interpret=True,
+                       kernel_tile=8)
+    params = dyn.init(jax.random.PRNGKey(8), xh_lig, xh_pkt, t, m_l, m_p)
+
+    e_l0, e_p0 = dyn.apply(params, xh_lig, xh_pkt, t, m_l, m_p)
+    e_l1, e_p1 = dyn.apply(params, xh_lig, xh_pkt, t, m_l, m_p,
+                           shared_pocket=True)
+    np.testing.assert_allclose(np.asarray(e_l1), np.asarray(e_l0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e_p1), np.asarray(e_p0), atol=2e-5)

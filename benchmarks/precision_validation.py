@@ -75,8 +75,11 @@ def main():
     key = jax.random.PRNGKey(7)
 
     def run(module):
+        # shared_pocket=True so the evidence covers the production bench
+        # path (batch-invariant first-layer factorization included)
         xh_lig, _ = module.ddpm.sample_given_pocket_segmented(
-            params, key, pocket, lig_mask, timesteps=T, segment=50)
+            params, key, pocket, lig_mask, timesteps=T, segment=50,
+            shared_pocket=True)
         return np.asarray(xh_lig)
 
     def one_step_eps(module):

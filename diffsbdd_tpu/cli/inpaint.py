@@ -112,10 +112,12 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
         # segmented dispatch: identical trajectory, bounded per-dispatch
         # execution (T x resamplings iterations would otherwise run as one
         # monolithic device program)
+        # shared_pocket: one pocket replicated across the samples
+        # (ignored by the joint model, which diffuses the pocket)
         xh_lig, xh_pocket = module.ddpm.inpaint_segmented(
             params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
             center=center, resamplings=resamplings, timesteps=timesteps,
-            segment=50)
+            segment=50, shared_pocket=True)
 
     if save_traj:
         # treat intermediate frames as the batch axis (inpaint.py:152-162)

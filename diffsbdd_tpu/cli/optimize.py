@@ -59,8 +59,11 @@ def diversify_ligands(module, params, rng, pocket, mols: List[SimpleMol],
     com_before = (np.asarray(pocket["x"]) * pkt_m[..., None]).sum(1) \
         / pkt_m.sum(1)[..., None]
 
+    # shared_pocket: the optimize CLI replicates ONE pocket across the
+    # population (optimize.py:175-184 layout)
     xh_lig, xh_pocket = module.ddpm.diversify(
-        params, rng, ligand, pocket, noising_steps=timesteps)
+        params, rng, ligand, pocket, noising_steps=timesteps,
+        shared_pocket=True)
 
     xh_lig = np.array(xh_lig)
     xh_pocket = np.array(xh_pocket)

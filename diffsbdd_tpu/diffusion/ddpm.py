@@ -712,8 +712,12 @@ class JointDDPM(DDPMBase):
                           lig_fixed: Array, pocket_fixed: Array,
                           resamplings: int = 1, jump_length: int = 1,
                           timesteps: Optional[int] = None,
-                          segment: int = 100):
+                          segment: int = 100, shared_pocket: bool = False):
         """``inpaint`` dispatched in ``segment``-iteration jitted chunks.
+
+        ``shared_pocket`` is accepted for call-site symmetry with the
+        conditional model but ignored: the joint model diffuses the pocket,
+        so its features are never batch-invariant.
 
         Bit-identical trajectory (same scan key, same per-iteration fold-in)
         with host round-trips only between chunks, so a T=500 x R=20 RePaint
@@ -1082,9 +1086,10 @@ class ConditionalDDPM(DDPMBase):
         frames_pkt = frames_pkt[stride - 1::stride].at[-1].set(final_pkt)
         return frames_lig, frames_pkt
 
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("noising_steps",))
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("noising_steps", "shared_pocket"))
     def diversify(self, params, rng, ligand: Batch, pocket: Batch,
-                  noising_steps: int):
+                  noising_steps: int, shared_pocket: bool = False):
         """Partial noising + short reverse chain (conditional_model.py:332-409)."""
         ligand, pocket = self.normalize(ligand, pocket)
         B = ligand["x"].shape[0]
@@ -1110,7 +1115,8 @@ class ConditionalDDPM(DDPMBase):
             s_arr = jnp.full((B, 1), s, jnp.float32) / self.T
             t_arr = jnp.full((B, 1), s + 1, jnp.float32) / self.T
             z_lig, xh_pkt = self._denoise_step(
-                params, key, z_lig, xh_pkt, m_l, m_p, s_arr, t_arr)
+                params, key, z_lig, xh_pkt, m_l, m_p, s_arr, t_arr,
+                shared_pocket=shared_pocket)
             return (z_lig, xh_pkt), None
 
         (z_lig, xh_pkt), _ = jax.lax.scan(
@@ -1157,7 +1163,8 @@ class ConditionalDDPM(DDPMBase):
         return ctx, z_lig, xh_pkt, k_scan, k_final
 
     def _cond_repaint_body(self, params, k_scan, ctx, timesteps: int,
-                           resamplings: int, z_lig, xh_pkt, s, u):
+                           resamplings: int, z_lig, xh_pkt, s, u,
+                           shared_pocket: bool = False):
         """One conditional RePaint iteration (conditional_model.py:616-666).
 
         Returns ((z_lig, xh_pkt), pre) where ``pre`` is the end-of-cycle
@@ -1177,7 +1184,8 @@ class ConditionalDDPM(DDPMBase):
 
         # denoise the unknown part
         z_unknown, xh_pkt = self._denoise_step(
-            params, k1, z_lig, xh_pkt, m_l, m_p, s_norm, t_norm)
+            params, k1, z_lig, xh_pkt, m_l, m_p, s_norm, t_norm,
+            shared_pocket=shared_pocket)
 
         # re-noise the known part in the current (translated) pocket frame
         com_pocket = masked_mean(xh_pkt[..., :nd], m_p)
@@ -1209,13 +1217,15 @@ class ConditionalDDPM(DDPMBase):
         return (z_lig, xh_pkt), pre
 
     @partial(jax.jit, static_argnums=(0,),
-             static_argnames=("timesteps", "resamplings"))
+             static_argnames=("timesteps", "resamplings", "shared_pocket"))
     def _cond_inpaint_segment(self, params, k_scan, ctx, z_lig, xh_pkt,
-                              s_arr, u_arr, timesteps: int, resamplings: int):
+                              s_arr, u_arr, timesteps: int, resamplings: int,
+                              shared_pocket: bool = False):
         def step(carry, inp):
             s, u = inp
             carry, _ = self._cond_repaint_body(
-                params, k_scan, ctx, timesteps, resamplings, *carry, s, u)
+                params, k_scan, ctx, timesteps, resamplings, *carry, s, u,
+                shared_pocket=shared_pocket)
             return carry, None
 
         (z_lig, xh_pkt), _ = jax.lax.scan(
@@ -1225,7 +1235,8 @@ class ConditionalDDPM(DDPMBase):
     def inpaint_segmented(self, params, rng, ligand: Batch, pocket: Batch,
                           lig_fixed: Array, resamplings: int = 1,
                           timesteps: Optional[int] = None,
-                          center: str = "ligand", segment: int = 100):
+                          center: str = "ligand", segment: int = 100,
+                          shared_pocket: bool = False):
         """``inpaint`` dispatched in ``segment``-iteration jitted chunks —
         bit-identical trajectory (same per-iteration key fold-in), bounded
         per-dispatch execution time.  Trajectory frames are not collected;
@@ -1244,7 +1255,8 @@ class ConditionalDDPM(DDPMBase):
                 params, k_scan, ctx, z_lig, xh_pkt,
                 jnp.asarray(s_seq[it0:it0 + n]),
                 jnp.asarray(u_seq[it0:it0 + n]),
-                timesteps=timesteps, resamplings=resamplings)
+                timesteps=timesteps, resamplings=resamplings,
+                shared_pocket=shared_pocket)
             it0 += n
 
         m_l, m_p = ctx["ligand"]["mask"], ctx["m_p"]

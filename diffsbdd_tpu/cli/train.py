@@ -100,8 +100,23 @@ def main(argv=None):
         state, _ = restore_checkpoint(args.resume, state, name="last")
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
+    # periodic sampling-quality eval + visualization during training
+    # (lightning_modules.py:382-410): molecule metrics on val pockets every
+    # eval_epochs, rendered samples / chain GIFs on the visualize schedules
+    from diffsbdd_tpu.train.evaluation import SamplingEvaluator
+    logger = WandbLogger(cfg)
+    smiles_file = Path(cfg.datadir, "train_smiles.npy")
+    train_smiles = np.load(smiles_file, allow_pickle=True) \
+        if smiles_file.exists() else None
+    wandb_mod = None
+    if logger.run is not None:
+        import wandb as wandb_mod  # noqa: F811 — module for Image/Video
+    evaluator = SamplingEvaluator(
+        module, dataset=val_ds, dataset_smiles=train_smiles,
+        outdir=Path(cfg.logdir) / cfg.run_name / "eval", wandb=wandb_mod)
+
     trainer = Trainer(module, cfg, train_loader, val_loader,
-                      logger=WandbLogger(cfg))
+                      logger=logger, evaluator=evaluator)
     trainer.fit(state, rng, n_epochs=cfg.n_epochs)
 
 

@@ -30,12 +30,15 @@ def residues_to_atoms(x_ca: np.ndarray, atom_encoder) -> np.ndarray:
 
 class SamplingEvaluator:
     def __init__(self, module, dataset=None, dataset_smiles=None,
-                 outdir="eval_out"):
+                 outdir="eval_out", wandb=None):
         self.module = module
         self.dataset = dataset  # validation LigandPocketDataset
         self.dataset_smiles = dataset_smiles
         self.outdir = Path(outdir)
         self.joint = isinstance(module.ddpm, JointDDPM)
+        # the wandb MODULE (not a run): rendered molecule images and chain
+        # GIFs are logged like the reference (visualization.py:336-369)
+        self.wandb = wandb
 
     # ------------------------------------------------------------- dispatch
     def sample_and_analyze(self, params, rng, n_samples, batch_size=None,
@@ -168,7 +171,8 @@ class SamplingEvaluator:
 
         outdir = Path(self.outdir, f"epoch_{epoch}")
         self._write_complex_xyz(outdir, xh_lig, lig_mask, xh_pkt, pocket_mask)
-        visualize(str(outdir), dataset_info=mod.dataset_info, wandb=None)
+        visualize(str(outdir), dataset_info=mod.dataset_info,
+                  wandb=self.wandb)
         return outdir
 
     def sample_chain_and_save(self, params, rng, keep_frames, epoch=0,
@@ -208,7 +212,7 @@ class SamplingEvaluator:
                                     frames_pkt[f], pocket_mask,
                                     name=f"chain_{f:04d}", argmax_h=True)
         gif = visualize_chain(str(outdir), self.module.dataset_info,
-                              wandb=None)
+                              wandb=self.wandb)
         return gif
 
     def _write_complex_xyz(self, outdir, xh_lig, lig_mask, xh_pkt, pkt_mask,

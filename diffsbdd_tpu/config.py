@@ -116,6 +116,9 @@ _DEFAULTS: Dict[str, Any] = {
         "matmul_precision": "float32",  # 'bfloat16' trades ~1e-2 eps noise for speed
         "remat": True,            # rematerialize EGNN blocks in training
         "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
+        "kernel_tile_i": 16,      # fused-kernel row-tile height; 16 beats 32
+                                  # at chain level (56.5 vs 59.4 ms/step, B=32)
+        "kernel_sub_j": 32,       # cutoff-skip column granularity
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
     },

@@ -53,6 +53,8 @@ class LigandPocketDDPM:
         lig_bucket: int = 8,
         pocket_bucket: int = 64,
         egnn_impl: str = "auto",
+        kernel_tile_i: int = 16,
+        kernel_sub_j: int = 32,
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
         augment_noise: float = 0.0,
@@ -119,6 +121,8 @@ class LigandPocketDDPM:
             reflection_equivariant=egnn_params.reflection_equivariant,
             edge_embedding_dim=egnn_params.get("edge_embedding_dim"),
             impl=egnn_impl,
+            kernel_tile_i=kernel_tile_i,
+            kernel_sub_j=kernel_sub_j,
             compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
             else jnp.float32,
             matmul_precision=matmul_precision,
@@ -449,6 +453,8 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         lig_bucket=cfg.tpu.lig_bucket,
         pocket_bucket=cfg.tpu.pocket_bucket,
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
+        kernel_tile_i=cfg.tpu.get("kernel_tile_i", 16),
+        kernel_sub_j=cfg.tpu.get("kernel_sub_j", 32),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
         augment_noise=cfg.get("augment_noise", 0.0),

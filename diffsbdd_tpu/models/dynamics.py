@@ -176,7 +176,12 @@ class EGNNDynamics(nn.Module):
                     padf = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
                     h, x, mask, is_lig = map(padf, (h, x, mask, is_lig))
                 adj = None
-                fused_ctx = dict(mask=mask, is_lig=is_lig,
+                # shared (B, N, N) input-coordinate squared distances: one
+                # XLA computation feeds the SMEM-prefetched block-activity
+                # bits of every fused kernel this forward (12 at 6 layers)
+                diff0 = x[:, :, None, :] - x[:, None, :, :]
+                d2_0_full = jnp.sum(diff0 * diff0, axis=-1)
+                fused_ctx = dict(mask=mask, is_lig=is_lig, d2_0=d2_0_full,
                                  type_table=type_table, cutoffs=cutoffs,
                                  tile_i=self.kernel_tile_i
                                  or min(16, self.kernel_tile),

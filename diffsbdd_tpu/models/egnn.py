@@ -219,22 +219,25 @@ class DenseGCL(nn.Module):
                 pkt_mask = mask * (1.0 - is_lig)
                 lig_cols = mask * is_lig
                 one = lambda t: t[:1]
+                d2_0s = fused_ctx.get("d2_0")
                 agg_pp = fused.gcl_message_agg(
                     one(a_row), one(a_col), one(x), one(x0), one(pkt_mask),
                     one(is_lig), w_d2, w_d20, tb, k2, b2, k_att, b_att,
-                    col_mask=one(pkt_mask), **kw)
+                    col_mask=one(pkt_mask),
+                    d2_0=None if d2_0s is None else one(d2_0s), **kw)
                 agg_pl = fused.gcl_message_agg(
                     a_row, a_col, x, x0, pkt_mask, is_lig, w_d2, w_d20, tb,
-                    k2, b2, k_att, b_att, col_mask=lig_cols, **kw)
+                    k2, b2, k_att, b_att, col_mask=lig_cols, d2_0=d2_0s,
+                    **kw)
                 agg_lr = fused.gcl_message_agg(
                     a_row, a_col, x, x0, lig_cols, is_lig, w_d2, w_d20, tb,
                     k2, b2, k_att, b_att, col_mask=mask,
-                    update_rows=fused_ctx["n_lig_rows"], **kw)
+                    update_rows=fused_ctx["n_lig_rows"], d2_0=d2_0s, **kw)
                 agg = jnp.broadcast_to(agg_pp, a_row.shape) + agg_pl + agg_lr
             else:
                 agg = fused.gcl_message_agg(
                     a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, tb,
-                    k2, b2, k_att, b_att, **kw)
+                    k2, b2, k_att, b_att, d2_0=fused_ctx.get("d2_0"), **kw)
         else:
             cd = self.compute_dtype
             # bf16 compute halves the HBM traffic of the O(N^2) message
@@ -399,7 +402,7 @@ class DenseEquivariantUpdate(nn.Module):
             cross=cross, graph_mean=graph_mean, impl="pallas",
             tile_i=ctx["tile_i"], tile_j=ctx["tile_j"],
             sub_j=ctx.get("sub_j", fused.SUB_J),
-            update_rows=ctx.get("update_rows"),
+            update_rows=ctx.get("update_rows"), d2_0=ctx.get("d2_0"),
             mxu_precision=ctx.get("mxu_precision", "float32"),
             interpret=self.interpret)
 

@@ -92,6 +92,31 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
     return out
 
 
+def _block_activity_bits(d2_0, mask, col_mask, is_lig, cutoffs,
+                         tile_i, sub_j, n_row_tiles):
+    """Per-row-tile bitmask of cutoff-active ``sub_j``-column blocks.
+
+    Computed in XLA from a shared (B, N, N) squared-distance matrix so the
+    kernels' skip decisions resolve from SMEM-prefetched scalars instead of
+    in-kernel VPU any-reductions (each of which forces a vector->scalar
+    pipeline drain before its branch).  The cutoffs are expanded by 1 ulp's
+    worth of slack so a pair exactly at the boundary can never be dropped by
+    XLA-vs-kernel fp differences — extra blocks only cost compute, the
+    in-kernel adjacency gate keeps results exact.
+    """
+    B, N, _ = d2_0.shape
+    n_sub = N // sub_j
+    assert n_sub <= 31, (N, sub_j)  # bits live in one int32 per row tile
+    slack = [None if c is None else c * (1.0 + 1e-6) for c in cutoffs]
+    adj = _adjacency_dense(d2_0, mask, is_lig, tuple(slack),
+                           col_mask=col_mask)
+    blk = adj.reshape(B, N // tile_i, tile_i, n_sub, sub_j)
+    act = jnp.max(blk, axis=(2, 4)) > 0          # (B, n_i, n_sub)
+    act = act[:, :n_row_tiles]
+    weights = jnp.left_shift(jnp.int32(1), jnp.arange(n_sub, dtype=jnp.int32))
+    return jnp.sum(act.astype(jnp.int32) * weights[None, None, :], axis=-1)
+
+
 # in-kernel MXU precision by policy name (the edge features are computed
 # elementwise and are always exact; only the hidden-layer dots vary).
 # Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass bf16 = exact
@@ -168,13 +193,19 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
 
 def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                      normalization_factor, sub_j=32,
-                     mxu=jax.lax.Precision.HIGHEST):
+                     mxu=jax.lax.Precision.HIGHEST, use_bits=False):
     sub_j = min(sub_j, tile_j)
     assert tile_j % sub_j == 0, (tile_j, sub_j)
-    def kernel(a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
-               mask_ref, maskt_ref, lig_ref, ligt_ref,
-               wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
-               batt_ref, out_ref):
+    n_sub = tile_j // sub_j
+
+    def kernel(*refs):
+        if use_bits:
+            bits_ref, *refs = refs
+        (a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
+         mask_ref, maskt_ref, lig_ref, ligt_ref,
+         wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
+         batt_ref, out_ref) = refs
+        pb = pl.program_id(0)
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
@@ -185,23 +216,34 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
         type_bias = tbias_ref[:] if has_type_bias else None
         w2p = _prep_w(w2_ref[:], mxu)
         wattp = _prep_w(watt_ref[:], mxu) if attention else None
+        # prefetched skip decisions: one int32 of per-sub-block activity bits
+        # per (batch, row-tile), resolved on the scalar core — no in-kernel
+        # any-reductions, no vector->scalar pipeline drains
+        row_bits = bits_ref[pb, i] if use_bits else None
 
         def body(j, acc):
             tj = tile_j
-            a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
-            x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            x0_j_t = x0t_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            mask_j = maskt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            F_out = out_ref.shape[2]
+            zeros = lambda: jnp.zeros((ti, F_out), jnp.float32)
 
-            d2 = _pair_distance2(x_i, x_j_t)
-            d2_0 = _pair_distance2(x0_i, x0_j_t)
-            # adjacency from the EGNN *input* coordinates (d2_0): the
-            # reference builds edges once per forward (dynamics.py:169-187),
-            # not per block; current-x distances only feed the edge features
-            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j, cutoffs)
+            def loads():
+                a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+                x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                x0_j_t = x0t_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                mask_j = maskt_ref[0, :,
+                                   pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                d2 = _pair_distance2(x_i, x_j_t)
+                d2_0 = _pair_distance2(x0_i, x0_j_t)
+                # adjacency from the EGNN *input* coordinates (d2_0): the
+                # reference builds edges once per forward (dynamics.py:
+                # 169-187), not per block; current-x distances only feed the
+                # edge features
+                adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j,
+                                      cutoffs)
+                return a_j, d2, d2_0, lig_j, adj
 
-            def compute_sub(sl):
+            def compute_sub(sl, a_j, d2, d2_0, lig_j, adj):
                 m = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                               lig_i, lig_j[:, sl],
                               wd2_ref[0], wd20_ref[0], type_bias,
@@ -216,27 +258,44 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                     gate = gate * att.reshape(ti, sub, 1)
                 return jnp.sum(m.reshape(ti, sub, -1) * gate, axis=1)
 
-            # two-level skipping: a whole-tile cond skips the per-sub-block
-            # conds (and their any-reductions) on fully edge-free (ti, tj)
-            # tiles, then cutoff sparsity skips the MLPs per 32-column block
-            # (38% of 16x32 blocks active on the 3rfm pocket at 5 A); the
-            # cheap d2/adjacency always runs
-            F_out = out_ref.shape[2]
-            zeros = lambda: jnp.zeros((ti, F_out), jnp.float32)
+            # two-level skipping: a whole-tile predicate skips the loads and
+            # the per-sub-block conds on fully edge-free (ti, tj) tiles,
+            # then cutoff sparsity skips the MLPs per 32-column block (38%
+            # of 16x32 blocks active on the 3rfm pocket at 5 A).  With
+            # prefetched bits every predicate is a scalar-core bit test.
+            if use_bits:
+                def tile_work():
+                    ops = loads()
+                    inner = zeros()
+                    for k in range(n_sub):
+                        sl = slice(k * sub_j, (k + 1) * sub_j)
+                        pred = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(
+                                row_bits, j * n_sub + k), 1) != 0
+                        inner = inner + jax.lax.cond(
+                            pred, lambda sl=sl: compute_sub(sl, *ops), zeros)
+                    return inner
+
+                tile_mask = jnp.int32(((1 << n_sub) - 1)) << (j * n_sub)
+                tile_pred = jnp.bitwise_and(row_bits, tile_mask) != 0
+                return acc + jax.lax.cond(tile_pred, tile_work, zeros)
+
+            ops = loads()
+            adj = ops[-1]
 
             def all_subs():
                 inner = zeros()
-                for k in range(tile_j // sub_j):
+                for k in range(n_sub):
                     sl = slice(k * sub_j, (k + 1) * sub_j)
                     inner = inner + jax.lax.cond(
                         jnp.any(adj[:, sl] > 0),
-                        lambda sl=sl: compute_sub(sl), zeros)
+                        lambda sl=sl: compute_sub(sl, *ops), zeros)
                 return inner
 
-            if tile_j // sub_j == 1:
+            if n_sub == 1:
                 sl = slice(0, sub_j)
                 return acc + jax.lax.cond(
-                    jnp.any(adj > 0), lambda: compute_sub(sl), zeros)
+                    jnp.any(adj > 0), lambda: compute_sub(sl, *ops), zeros)
             return acc + jax.lax.cond(jnp.any(adj > 0), all_subs, zeros)
 
         acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
@@ -250,7 +309,7 @@ def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
         tile_i=TILE_I, tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-        col_mask=None, update_rows=None, interpret=False):
+        col_mask=None, update_rows=None, d2_0=None, interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
     a_row/a_col: per-node projections of h through the split first-layer
@@ -266,6 +325,11 @@ def gcl_message_agg_pallas(
     are consumed, the grid is truncated to those row tiles and the remaining
     rows are returned as exact zeros (nodes are laid out ligand-first, so
     ligand-row-only aggregation is the leading-tiles case).
+
+    ``d2_0``: optional shared (B, N, N) squared distances of the EGNN input
+    coordinates — enables SMEM-prefetched block-activity bits so skip
+    branches resolve on the scalar core (used only for skipping; the
+    in-kernel adjacency gate keeps results exact).
     """
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
@@ -283,15 +347,18 @@ def gcl_message_agg_pallas(
         w_att = jnp.zeros((F, 1), a_row.dtype)
         b_att = jnp.zeros((1,), a_row.dtype)
 
+    use_bits = d2_0 is not None
     kernel = _make_gcl_kernel(
         n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
         attention=attention, has_type_bias=has_type_bias,
         normalization_factor=normalization_factor, sub_j=sub_j,
-        mxu=_PRECISIONS[mxu_precision])
+        mxu=_PRECISIONS[mxu_precision], use_bits=use_bits)
 
-    full = lambda b, i: (b, 0, 0)
+    full = lambda b, i, *_: (b, 0, 0)
+    rowmap = lambda b, i, *_: (b, i, 0)
     const2 = lambda shape: pl.BlockSpec(
-        shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        shape, lambda b, i, *_: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
 
     x_t = jnp.swapaxes(x, 1, 2)      # (B, 3, N): lane-major column layout
     x0_t = jnp.swapaxes(x0, 1, 2)
@@ -300,31 +367,48 @@ def gcl_message_agg_pallas(
     lig_row = is_lig[..., None]
     lig_col = is_lig[:, None, :]
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, n_row_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
-            const2((1, F)), const2((1, F)), const2((1, F)),
-            const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
-        ],
-        out_specs=pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_rows_out, F), jnp.float32),
-        interpret=interpret,
-    )(a_row, a_col, x, x_t, x0, x0_t, mask_row, mask_col, lig_row, lig_col,
-      w_d2.reshape(1, F), w_d20.reshape(1, F), type_delta.reshape(1, F),
-      w2, b2.reshape(1, F), w_att, b_att.reshape(1, 1))
+    in_specs = [
+        pl.BlockSpec((1, tile_i, F), rowmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, N), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM),
+        const2((1, F)), const2((1, F)), const2((1, F)),
+        const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
+    ]
+    out_spec = pl.BlockSpec((1, tile_i, F), rowmap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_rows_out, F), jnp.float32)
+    args = (a_row, a_col, x, x_t, x0, x0_t, mask_row, mask_col, lig_row,
+            lig_col, w_d2.reshape(1, F), w_d20.reshape(1, F),
+            type_delta.reshape(1, F), w2, b2.reshape(1, F), w_att,
+            b_att.reshape(1, 1))
+
+    if use_bits:
+        bits = _block_activity_bits(
+            d2_0, mask, mask if col_mask is None else col_mask, is_lig,
+            cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B, n_row_tiles),
+                in_specs=in_specs, out_specs=out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bits, *args)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, n_row_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
     if n_rows_out < N:
         out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
     return out
@@ -337,10 +421,14 @@ def gcl_message_agg_pallas(
 def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                        coords_range, reflection_equiv, norm_constant,
                        normalization_factor, sub_j=32,
-                       mxu=jax.lax.Precision.HIGHEST):
+                       mxu=jax.lax.Precision.HIGHEST, use_bits=False):
     sub_j = min(sub_j, tile_j)
     assert tile_j % sub_j == 0, (tile_j, sub_j)
+    n_sub = tile_j // sub_j
+
     def kernel(*refs):
+        if use_bits:
+            bits_ref, *refs = refs
         if reflection_equiv:
             (a_row_ref, a_col_ref, x_ref, xt_ref, x0_ref, x0t_ref,
              mask_ref, maskt_ref, lig_ref, ligt_ref,
@@ -354,6 +442,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
              cwd2_ref, cwd20_ref, ctbias_ref, cw2_ref, cb2_ref, cw3_ref,
              out_ref) = refs
 
+        pb = pl.program_id(0)
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
@@ -364,6 +453,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
         type_bias = tbias_ref[:] if has_type_bias else None
         w2p = _prep_w(w2_ref[:], mxu)
         w3p = _prep_w(w3_ref[:], mxu)
+        row_bits = bits_ref[pb, i] if use_bits else None
         if not reflection_equiv:
             c_i = c_row_ref[0]
             mean = mean_ref[0]  # (1, 3)
@@ -373,20 +463,28 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
 
         def body(j, acc):
             tj = tile_j
-            a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
-            x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            x0_j_t = x0t_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            mask_j = maskt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
-            lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+            zeros = lambda: jnp.zeros((ti, 3), jnp.float32)
 
-            d2 = _pair_distance2(x_i, x_j_t)
-            d2_0 = _pair_distance2(x0_i, x0_j_t)
-            # edges fixed from input coordinates, as in the reference
-            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j, cutoffs)
-            if not reflection_equiv:
-                c_j = c_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+            def loads():
+                a_j = a_col_ref[0, pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+                x_j_t = xt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                x0_j_t = x0t_ref[0, :,
+                                 pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                mask_j = maskt_ref[0, :,
+                                   pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                lig_j = ligt_ref[0, :, pl.ds(pl.multiple_of(j * tj, tj), tj)]
+                d2 = _pair_distance2(x_i, x_j_t)
+                d2_0 = _pair_distance2(x0_i, x0_j_t)
+                # edges fixed from input coordinates, as in the reference
+                adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j,
+                                      cutoffs)
+                c_j = None
+                if not reflection_equiv:
+                    c_j = c_col_ref[0,
+                                    pl.ds(pl.multiple_of(j * tj, tj), tj), :]
+                return a_j, x_j_t, d2, d2_0, lig_j, adj, c_j
 
-            def compute_sub(sl):
+            def compute_sub(sl, a_j, x_j_t, d2, d2_0, lig_j, adj, c_j):
                 phi = _pair_mlp(a_i, a_j[sl], d2[:, sl], d2_0[:, sl],
                                 lig_i, lig_j[:, sl],
                                 wd2_ref[0], wd20_ref[0], type_bias,
@@ -425,23 +523,42 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                     cols.append(t_a)
                 return jnp.concatenate(cols, axis=1)
 
-            # two-level skipping as in the GCL kernel: whole-tile cond, then
-            # per-32-column-block conds
-            zeros = lambda: jnp.zeros((ti, 3), jnp.float32)
+            # two-level skipping as in the GCL kernel: whole-tile
+            # predicate, then per-32-column-block predicates; with
+            # prefetched bits every predicate is a scalar-core bit test
+            if use_bits:
+                def tile_work():
+                    ops = loads()
+                    inner = zeros()
+                    for k in range(n_sub):
+                        sl = slice(k * sub_j, (k + 1) * sub_j)
+                        pred = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(
+                                row_bits, j * n_sub + k), 1) != 0
+                        inner = inner + jax.lax.cond(
+                            pred, lambda sl=sl: compute_sub(sl, *ops), zeros)
+                    return inner
+
+                tile_mask = jnp.int32(((1 << n_sub) - 1)) << (j * n_sub)
+                tile_pred = jnp.bitwise_and(row_bits, tile_mask) != 0
+                return acc + jax.lax.cond(tile_pred, tile_work, zeros)
+
+            ops = loads()
+            adj = ops[5]
 
             def all_subs():
                 inner = zeros()
-                for k in range(tile_j // sub_j):
+                for k in range(n_sub):
                     sl = slice(k * sub_j, (k + 1) * sub_j)
                     inner = inner + jax.lax.cond(
                         jnp.any(adj[:, sl] > 0),
-                        lambda sl=sl: compute_sub(sl), zeros)
+                        lambda sl=sl: compute_sub(sl, *ops), zeros)
                 return inner
 
-            if tile_j // sub_j == 1:
+            if n_sub == 1:
                 sl = slice(0, sub_j)
                 return acc + jax.lax.cond(
-                    jnp.any(adj > 0), lambda: compute_sub(sl), zeros)
+                    jnp.any(adj > 0), lambda: compute_sub(sl, *ops), zeros)
             return acc + jax.lax.cond(jnp.any(adj > 0), all_subs, zeros)
 
         acc = jnp.zeros((ti, 3), jnp.float32)
@@ -456,7 +573,7 @@ def coord_update_agg_pallas(
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
         cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
-        sub_j=SUB_J, update_rows=None, mxu_precision="float32",
+        sub_j=SUB_J, update_rows=None, d2_0=None, mxu_precision="float32",
         interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
@@ -483,16 +600,17 @@ def coord_update_agg_pallas(
     if type_delta is None:
         type_delta = jnp.zeros((F,), a_row.dtype)
 
+    use_bits = d2_0 is not None
     kernel = _make_coord_kernel(
         n_tiles_j=N // tile_j, tile_j=tile_j, cutoffs=cutoffs,
         has_type_bias=has_type_bias,
         tanh=tanh, coords_range=coords_range,
         reflection_equiv=reflection_equiv, norm_constant=norm_constant,
         normalization_factor=normalization_factor, sub_j=sub_j,
-        mxu=_PRECISIONS[mxu_precision])
+        mxu=_PRECISIONS[mxu_precision], use_bits=use_bits)
 
-    full = lambda b, i: (b, 0, 0)
-    row_spec = pl.BlockSpec((1, tile_i, F), lambda b, i: (b, i, 0),
+    full = lambda b, i, *_: (b, 0, 0)
+    row_spec = pl.BlockSpec((1, tile_i, F), lambda b, i, *_: (b, i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM)
@@ -500,7 +618,8 @@ def coord_update_agg_pallas(
     nrow_spec = pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM)
     ncol_spec = pl.BlockSpec((1, 1, N), full, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
-        shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        shape, lambda b, i, *_: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
 
     x_t = jnp.swapaxes(x, 1, 2)
     x0_t = jnp.swapaxes(x0, 1, 2)
@@ -517,7 +636,7 @@ def coord_update_agg_pallas(
     in_specs += [x_spec, xt_spec, x_spec, xt_spec]
     args += [x, x_t, x0, x0_t]
     if not reflection_equiv:
-        in_specs += [pl.BlockSpec((1, 1, 3), lambda b, i: (b, 0, 0),
+        in_specs += [pl.BlockSpec((1, 1, 3), lambda b, i, *_: (b, 0, 0),
                                   memory_space=pltpu.VMEM)]
         args += [graph_mean.reshape(B, 1, 3)]
     in_specs += [nrow_spec, ncol_spec, nrow_spec, ncol_spec,
@@ -534,15 +653,30 @@ def coord_update_agg_pallas(
                  c_delta.reshape(1, F), cross["w2"],
                  cross["b2"].reshape(1, F), cross["w3"]]
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, n_row_tiles),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_i, 3), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32),
-        interpret=interpret,
-    )(*args)
+    out_spec = pl.BlockSpec((1, tile_i, 3), lambda b, i, *_: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32)
+    if use_bits:
+        bits = _block_activity_bits(
+            d2_0, mask, mask, is_lig, cutoffs, tile_i, min(sub_j, tile_j),
+            n_row_tiles)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B, n_row_tiles),
+                in_specs=in_specs, out_specs=out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bits, *args)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, n_row_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
     if n_rows_out < N:
         out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
     return out
@@ -662,11 +796,11 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 def _gcl_agg_cvjp(cfg, operands):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
      mxu_precision, interpret) = cfg
-    main, col_mask = operands
+    main, col_mask, d2_0 = operands
     return gcl_message_agg_pallas(
         *main, cutoffs=cutoffs, attention=attention,
         normalization_factor=nf, tile_i=tile_i, tile_j=tile_j, sub_j=sub_j,
-        col_mask=col_mask, update_rows=update_rows,
+        col_mask=col_mask, update_rows=update_rows, d2_0=d2_0,
         mxu_precision=mxu_precision, interpret=interpret)
 
 
@@ -679,7 +813,9 @@ def _gcl_agg_bwd(cfg, operands, g):
     tile_i, update_rows = cfg[3], cfg[6]
 
     def f(ops):
-        main, col_mask = ops
+        # d2_0 (ops[2]) only drives the forward's skip decisions; the mirror
+        # recomputes distances from x0, so its cotangent is correctly zero
+        main, col_mask, _ = ops
         return gcl_message_agg_xla(
             *main, cutoffs=cutoffs, attention=attention,
             normalization_factor=nf, col_mask=col_mask,
@@ -696,7 +832,8 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     type_bias, w2, b2, w_att, b_att, *, cutoffs, attention,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-                    col_mask=None, update_rows=None, interpret=False):
+                    col_mask=None, update_rows=None, d2_0=None,
+                    interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way."""
     if impl == "xla":
         return gcl_message_agg_xla(
@@ -710,19 +847,19 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
            mxu_precision, interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w_att, b_att)
-    return _gcl_agg_cvjp(cfg, (main, col_mask))
+    return _gcl_agg_cvjp(cfg, (main, col_mask, d2_0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
      update_rows, mxu_precision, interpret) = cfg
-    main, cross, graph_mean = operands
+    main, cross, graph_mean, d2_0 = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
         cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
-        sub_j=sub_j, update_rows=update_rows,
+        sub_j=sub_j, update_rows=update_rows, d2_0=d2_0,
         mxu_precision=mxu_precision, interpret=interpret)
 
 
@@ -735,7 +872,8 @@ def _coord_agg_bwd(cfg, operands, g):
     tile_i, update_rows = cfg[5], cfg[8]
 
     def f(ops):
-        main, cross, graph_mean = ops
+        # d2_0 (ops[3]) only drives skip decisions; cotangent correctly zero
+        main, cross, graph_mean, _ = ops
         return coord_update_agg_xla(
             *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
             norm_constant=norm_constant, normalization_factor=nf,
@@ -754,7 +892,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      norm_constant, normalization_factor, cross=None,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
                      tile_j=TILE_J, sub_j=SUB_J, update_rows=None,
-                     mxu_precision="float32", interpret=False):
+                     d2_0=None, mxu_precision="float32", interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable."""
     if impl == "xla":
         return coord_update_agg_xla(
@@ -769,7 +907,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
            mxu_precision, interpret)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
-    return _coord_agg_cvjp(cfg, (main, cross, graph_mean))
+    return _coord_agg_cvjp(cfg, (main, cross, graph_mean, d2_0))
 
 
 # ---------------------------------------------------------------------------

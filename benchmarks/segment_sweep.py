@@ -29,6 +29,7 @@ def main():
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--shared-pocket", action="store_true")
     p.add_argument("--tile-i", type=int, default=None)
+    p.add_argument("--sub-j", type=int, default=None)
     args = p.parse_args()
 
     from benchmarks.kernel_bench import _cache
@@ -44,7 +45,7 @@ def main():
     cfg, module = _flagship_module(
         n_lig_max=n_lig, n_pocket_max=320, T=args.T,
         matmul_precision="float32_x3", egnn_impl="pallas",
-        kernel_tile_i=args.tile_i)
+        kernel_tile_i=args.tile_i, kernel_sub_j=args.sub_j)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
     pocket = bench.get_pocket(module, args.batch)
     rng_np = np.random.default_rng(0)

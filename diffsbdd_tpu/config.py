@@ -118,7 +118,8 @@ _DEFAULTS: Dict[str, Any] = {
         "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
         "kernel_tile_i": 16,      # fused-kernel row-tile height; 16 beats 32
                                   # at chain level (56.5 vs 59.4 ms/step, B=32)
-        "kernel_sub_j": 32,       # cutoff-skip column granularity
+        "kernel_sub_j": 16,       # cutoff-skip granularity; 16 beats 32 with
+                                  # prefetched bits (47.2 vs 50.7 ms/step)
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
     },

@@ -101,7 +101,7 @@ class EGNNDynamics(nn.Module):
     interpret: bool = False
     kernel_tile: int = 128
     kernel_tile_i: Optional[int] = None  # default min(16, kernel_tile)
-    kernel_sub_j: int = 32  # cutoff-skip granularity inside a column tile
+    kernel_sub_j: int = 16  # cutoff-skip granularity inside a column tile
     compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
     matmul_precision: str = "float32"  # TPU default (bf16 inputs) loses ~1e-2
     # relative on this network's large d^2 edge features; 'float32' restores

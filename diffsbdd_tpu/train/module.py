@@ -54,7 +54,7 @@ class LigandPocketDDPM:
         pocket_bucket: int = 64,
         egnn_impl: str = "auto",
         kernel_tile_i: int = 16,
-        kernel_sub_j: int = 32,
+        kernel_sub_j: int = 16,
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
         augment_noise: float = 0.0,
@@ -454,7 +454,7 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         pocket_bucket=cfg.tpu.pocket_bucket,
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
         kernel_tile_i=cfg.tpu.get("kernel_tile_i", 16),
-        kernel_sub_j=cfg.tpu.get("kernel_sub_j", 32),
+        kernel_sub_j=cfg.tpu.get("kernel_sub_j", 16),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
         augment_noise=cfg.get("augment_noise", 0.0),

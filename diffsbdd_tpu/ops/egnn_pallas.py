@@ -106,15 +106,20 @@ def _block_activity_bits(d2_0, mask, col_mask, is_lig, cutoffs,
     """
     B, N, _ = d2_0.shape
     n_sub = N // sub_j
-    assert n_sub <= 31, (N, sub_j)  # bits live in one int32 per row tile
+    n_per_tile = min(TILE_J, N) // sub_j
+    assert n_per_tile <= 31, (N, sub_j)  # one int32 word per (row, col) tile
     slack = [None if c is None else c * (1.0 + 1e-6) for c in cutoffs]
     adj = _adjacency_dense(d2_0, mask, is_lig, tuple(slack),
                            col_mask=col_mask)
     blk = adj.reshape(B, N // tile_i, tile_i, n_sub, sub_j)
     act = jnp.max(blk, axis=(2, 4)) > 0          # (B, n_i, n_sub)
-    act = act[:, :n_row_tiles]
-    weights = jnp.left_shift(jnp.int32(1), jnp.arange(n_sub, dtype=jnp.int32))
-    return jnp.sum(act.astype(jnp.int32) * weights[None, None, :], axis=-1)
+    act = act[:, :n_row_tiles].reshape(
+        B, n_row_tiles, n_sub // n_per_tile, n_per_tile)
+    weights = jnp.left_shift(jnp.int32(1),
+                             jnp.arange(n_per_tile, dtype=jnp.int32))
+    # (B, n_i, n_tiles_j) int32: bit k of word j = sub-block (j, k) active
+    return jnp.sum(act.astype(jnp.int32) * weights[None, None, None, :],
+                   axis=-1)
 
 
 # in-kernel MXU precision by policy name (the edge features are computed
@@ -216,10 +221,10 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
         type_bias = tbias_ref[:] if has_type_bias else None
         w2p = _prep_w(w2_ref[:], mxu)
         wattp = _prep_w(watt_ref[:], mxu) if attention else None
-        # prefetched skip decisions: one int32 of per-sub-block activity bits
-        # per (batch, row-tile), resolved on the scalar core — no in-kernel
-        # any-reductions, no vector->scalar pipeline drains
-        row_bits = bits_ref[pb, i] if use_bits else None
+        # prefetched skip decisions: one int32 word of per-sub-block
+        # activity bits per (batch, row-tile, col-tile), resolved on the
+        # scalar core — no in-kernel any-reductions, no vector->scalar
+        # pipeline drains
 
         def body(j, acc):
             tj = tile_j
@@ -264,21 +269,20 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
             # of 16x32 blocks active on the 3rfm pocket at 5 A).  With
             # prefetched bits every predicate is a scalar-core bit test.
             if use_bits:
+                word = bits_ref[pb, i, j]
+
                 def tile_work():
                     ops = loads()
                     inner = zeros()
                     for k in range(n_sub):
                         sl = slice(k * sub_j, (k + 1) * sub_j)
                         pred = jnp.bitwise_and(
-                            jax.lax.shift_right_logical(
-                                row_bits, j * n_sub + k), 1) != 0
+                            jax.lax.shift_right_logical(word, k), 1) != 0
                         inner = inner + jax.lax.cond(
                             pred, lambda sl=sl: compute_sub(sl, *ops), zeros)
                     return inner
 
-                tile_mask = jnp.int32(((1 << n_sub) - 1)) << (j * n_sub)
-                tile_pred = jnp.bitwise_and(row_bits, tile_mask) != 0
-                return acc + jax.lax.cond(tile_pred, tile_work, zeros)
+                return acc + jax.lax.cond(word != 0, tile_work, zeros)
 
             ops = loads()
             adj = ops[-1]
@@ -453,7 +457,6 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
         type_bias = tbias_ref[:] if has_type_bias else None
         w2p = _prep_w(w2_ref[:], mxu)
         w3p = _prep_w(w3_ref[:], mxu)
-        row_bits = bits_ref[pb, i] if use_bits else None
         if not reflection_equiv:
             c_i = c_row_ref[0]
             mean = mean_ref[0]  # (1, 3)
@@ -527,21 +530,20 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
             # predicate, then per-32-column-block predicates; with
             # prefetched bits every predicate is a scalar-core bit test
             if use_bits:
+                word = bits_ref[pb, i, j]
+
                 def tile_work():
                     ops = loads()
                     inner = zeros()
                     for k in range(n_sub):
                         sl = slice(k * sub_j, (k + 1) * sub_j)
                         pred = jnp.bitwise_and(
-                            jax.lax.shift_right_logical(
-                                row_bits, j * n_sub + k), 1) != 0
+                            jax.lax.shift_right_logical(word, k), 1) != 0
                         inner = inner + jax.lax.cond(
                             pred, lambda sl=sl: compute_sub(sl, *ops), zeros)
                     return inner
 
-                tile_mask = jnp.int32(((1 << n_sub) - 1)) << (j * n_sub)
-                tile_pred = jnp.bitwise_and(row_bits, tile_mask) != 0
-                return acc + jax.lax.cond(tile_pred, tile_work, zeros)
+                return acc + jax.lax.cond(word != 0, tile_work, zeros)
 
             ops = loads()
             adj = ops[5]

@@ -128,26 +128,20 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
-    # stage breakdown: one 50-step eps-net segment, then the terminal decode
-    ddpm = module.ddpm
-    _, npocket = ddpm.normalize(pocket=pocket)
-    z_lig, xh_pkt = ddpm._prior_sample(
-        jax.random.PRNGKey(3), npocket, lig_mask)
-    seg = lambda: ddpm._denoise_segment(
-        params, jax.random.PRNGKey(4), z_lig, xh_pkt, lig_mask,
-        npocket["mask"], jnp.asarray(T - 1, jnp.float32), n_steps=50,
-        timesteps=T, shared_pocket=True)
-    sync(seg())
+    # marginal per-step cost via a chain-length slope: a half-length chain
+    # shares the fixed costs (prior, decode, dispatch), so the difference
+    # isolates the eps-net step — robust to tunnel drift, unlike timing an
+    # isolated segment in a separate (later, differently-loaded) dispatch
+    half = module.ddpm.sample_given_pocket_segmented(
+        params, jax.random.PRNGKey(2), pocket, lig_mask, timesteps=T // 2,
+        segment=50, shared_pocket=True)
+    sync(half)  # compile any T//2-specific pieces
     t0 = time.perf_counter()
-    sync(seg())
-    seg_dt = time.perf_counter() - t0
-    dec = lambda: ddpm.sample_p_xh_given_z0(
-        params, jax.random.PRNGKey(5), z_lig, xh_pkt, lig_mask,
-        npocket["mask"])
-    sync(dec())
-    t0 = time.perf_counter()
-    sync(dec())
-    dec_dt = time.perf_counter() - t0
+    half = module.ddpm.sample_given_pocket_segmented(
+        params, jax.random.PRNGKey(2), pocket, lig_mask, timesteps=T // 2,
+        segment=50, shared_pocket=True)
+    sync(half)
+    dt_half = time.perf_counter() - t0
 
     return {
         "batch": batch,
@@ -155,10 +149,11 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
         "wall_s_median": round(dt, 2),
         "wall_s_all": [round(t, 2) for t in times],
         "ms_per_step": round(dt / T * 1e3, 2),
-        "ms_per_step_epsnet": round(seg_dt / 50 * 1e3, 2),
-        "ms_decode": round(dec_dt * 1e3, 2),
-        "ms_host_overhead_per_step": round(
-            (dt - seg_dt * (T / 50) - dec_dt) / T * 1e3, 2),
+        # raw half-length chain wall time: the T-vs-T/2 difference isolates
+        # the marginal eps-net step cost when the tunnel is stable; reported
+        # raw because run-to-run device variance (~±25% under sustained
+        # load) can exceed the quantity being derived
+        "wall_s_half_T": round(dt_half, 2),
     }
 
 

@@ -189,14 +189,19 @@ def main():
                                    egnn_impl=impl)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 
-    main_run = _bench_batch(module, params, batch=batches[0], T=T,
-                            n_lig=n_lig, repeats=3)
+    # secondary (small-batch) point first: the tunnel degrades under
+    # sustained load, and the headline batch recovers during its own
+    # 3-repeat median while the small single-shot point would not
     try:
         alt_run = _bench_batch(module, params, batch=batches[1], T=T,
                                n_lig=n_lig, repeats=1)
     except Exception as e:  # secondary data point must not sink the bench
         alt_run = {"batch": batches[1],
                    "error": f"{type(e).__name__}: {e}"[:200]}
+    if not smoke:
+        time.sleep(30)  # brief rest before the headline measurement
+    main_run = _bench_batch(module, params, batch=batches[0], T=T,
+                            n_lig=n_lig, repeats=3)
 
     mols_per_sec = main_run["mol_per_sec"]
     result = {

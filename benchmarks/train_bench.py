@@ -25,6 +25,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--impl", default="pallas")
+    p.add_argument("--bwd", default="auto",
+                   help="'auto'(->pallas) | 'pallas' | 'xla' backward")
+    p.add_argument("--bwd-sub-j", type=int, default=None)
     p.add_argument("--precision", default="float32_x3")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
@@ -42,7 +45,8 @@ def main():
     B = args.batch
     cfg, module = _flagship_module(
         n_lig_max=24, n_pocket_max=320, T=500,
-        matmul_precision=args.precision, egnn_impl=args.impl)
+        matmul_precision=args.precision, egnn_impl=args.impl,
+        kernel_bwd=args.bwd, kernel_bwd_sub_j=args.bwd_sub_j)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
     state = create_train_state(params, lr=1e-4)
     step = make_train_step(module, lr=1e-4)
@@ -79,7 +83,8 @@ def main():
 
     dt = float(np.median(times))
     print(json.dumps({
-        "impl": args.impl, "precision": args.precision, "batch": B,
+        "impl": args.impl, "bwd": args.bwd, "precision": args.precision,
+        "batch": B,
         "ms_per_train_step": round(dt * 1e3, 1),
         "steps_per_sec": round(1.0 / dt, 3),
         "samples_per_sec": round(B / dt, 2),

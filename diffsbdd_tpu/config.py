@@ -120,6 +120,9 @@ _DEFAULTS: Dict[str, Any] = {
                                   # at chain level (56.5 vs 59.4 ms/step, B=32)
         "kernel_sub_j": 16,       # cutoff-skip granularity; 16 beats 32 with
                                   # prefetched bits (47.2 vs 50.7 ms/step)
+        "kernel_bwd": "auto",     # training backward: 'auto'(->pallas) |
+                                  # 'pallas' | 'xla' (dense-mirror recompute)
+        "kernel_bwd_sub_j": None, # backward skip granularity (None -> fwd's)
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
     },

@@ -102,6 +102,9 @@ class EGNNDynamics(nn.Module):
     kernel_tile: int = 128
     kernel_tile_i: Optional[int] = None  # default min(16, kernel_tile)
     kernel_sub_j: int = 16  # cutoff-skip granularity inside a column tile
+    kernel_bwd: str = "auto"  # 'auto'|'pallas'|'xla': training backward via
+    # fused Pallas kernels (egnn_pallas_bwd.py) or dense-XLA recompute
+    kernel_bwd_sub_j: Optional[int] = None  # backward skip granularity
     compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
     matmul_precision: str = "float32"  # TPU default (bf16 inputs) loses ~1e-2
     # relative on this network's large d^2 edge features; 'float32' restores
@@ -199,7 +202,11 @@ class EGNNDynamics(nn.Module):
                                  shared_pocket_first_layer=bool(shared_pocket)
                                  and not self.update_pocket_coords,
                                  n_lig_rows=NL,
-                                 mxu_precision=self.matmul_precision)
+                                 mxu_precision=self.matmul_precision,
+                                 bwd_impl="pallas"
+                                 if self.kernel_bwd == "auto"
+                                 else self.kernel_bwd,
+                                 bwd_sub_j=self.kernel_bwd_sub_j)
             else:
                 fused_ctx = None
                 adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)

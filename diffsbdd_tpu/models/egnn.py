@@ -205,6 +205,8 @@ class DenseGCL(nn.Module):
                 tile_j=fused_ctx["tile_j"],
                 sub_j=fused_ctx.get("sub_j", fused.SUB_J),
                 mxu_precision=fused_ctx.get("mxu_precision", "float32"),
+                bwd_impl=fused_ctx.get("bwd_impl", "xla"),
+                bwd_sub_j=fused_ctx.get("bwd_sub_j"),
                 interpret=self.interpret)
             x, x0 = fused_ctx["x"], fused_ctx["x0"]
             mask, is_lig = fused_ctx["mask"], fused_ctx["is_lig"]
@@ -404,6 +406,8 @@ class DenseEquivariantUpdate(nn.Module):
             sub_j=ctx.get("sub_j", fused.SUB_J),
             update_rows=ctx.get("update_rows"), d2_0=ctx.get("d2_0"),
             mxu_precision=ctx.get("mxu_precision", "float32"),
+            bwd_impl=ctx.get("bwd_impl", "xla"),
+            bwd_sub_j=ctx.get("bwd_sub_j"),
             interpret=self.interpret)
 
 

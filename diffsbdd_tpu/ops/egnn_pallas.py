@@ -797,7 +797,7 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
-     mxu_precision, interpret) = cfg
+     mxu_precision, interpret, _bwd_impl, _bwd_sub_j) = cfg
     main, col_mask, d2_0 = operands
     return gcl_message_agg_pallas(
         *main, cutoffs=cutoffs, attention=attention,
@@ -811,8 +811,16 @@ def _gcl_agg_fwd(cfg, operands):
 
 
 def _gcl_agg_bwd(cfg, operands, g):
-    cutoffs, attention, nf = cfg[:3]
-    tile_i, update_rows = cfg[3], cfg[6]
+    (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
+     mxu_precision, interpret, bwd_impl, bwd_sub_j) = cfg
+    if bwd_impl == "pallas":
+        from . import egnn_pallas_bwd as bwd
+        main, col_mask, d2_0 = operands
+        return (bwd.gcl_agg_bwd(
+            g, main, col_mask, d2_0, cutoffs=cutoffs, attention=attention,
+            normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
+            sub_j=bwd_sub_j or sub_j, mxu_precision=mxu_precision,
+            update_rows=update_rows, interpret=interpret),)
 
     def f(ops):
         # d2_0 (ops[2]) only drives the forward's skip decisions; the mirror
@@ -835,8 +843,13 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
                     col_mask=None, update_rows=None, d2_0=None,
-                    interpret=False):
-    """Fused (or dense) GCL message aggregation, differentiable either way."""
+                    bwd_impl="xla", bwd_sub_j=None, interpret=False):
+    """Fused (or dense) GCL message aggregation, differentiable either way.
+
+    ``bwd_impl``: 'pallas' runs the fused backward kernels
+    (egnn_pallas_bwd.py); 'xla' (default) recomputes through the dense
+    mirror.  ``bwd_sub_j`` overrides the skip granularity for the backward
+    kernel only (None -> same as forward)."""
     if impl == "xla":
         return gcl_message_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
@@ -846,7 +859,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     cfg = (tuple(cutoffs), attention, float(normalization_factor),
            tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
-           mxu_precision, interpret)
+           mxu_precision, interpret, bwd_impl, bwd_sub_j)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, (main, col_mask, d2_0))
@@ -855,7 +868,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
-     update_rows, mxu_precision, interpret) = cfg
+     update_rows, mxu_precision, interpret, _bwd_impl, _bwd_sub_j) = cfg
     main, cross, graph_mean, d2_0 = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
@@ -870,8 +883,17 @@ def _coord_agg_fwd(cfg, operands):
 
 
 def _coord_agg_bwd(cfg, operands, g):
-    cutoffs, tanh, coords_range, norm_constant, nf = cfg[:5]
-    tile_i, update_rows = cfg[5], cfg[8]
+    (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
+     update_rows, mxu_precision, interpret, bwd_impl, bwd_sub_j) = cfg
+    if bwd_impl == "pallas":
+        from . import egnn_pallas_bwd as bwd
+        main, cross, graph_mean, d2_0 = operands
+        return (bwd.coord_agg_bwd(
+            g, main, cross, graph_mean, d2_0, cutoffs=cutoffs, tanh=tanh,
+            coords_range=coords_range, norm_constant=norm_constant,
+            normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
+            sub_j=bwd_sub_j or sub_j, mxu_precision=mxu_precision,
+            update_rows=update_rows, interpret=interpret),)
 
     def f(ops):
         # d2_0 (ops[3]) only drives skip decisions; cotangent correctly zero
@@ -894,8 +916,11 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      norm_constant, normalization_factor, cross=None,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
                      tile_j=TILE_J, sub_j=SUB_J, update_rows=None,
-                     d2_0=None, mxu_precision="float32", interpret=False):
-    """Fused (or dense) coordinate-update aggregation, differentiable."""
+                     d2_0=None, mxu_precision="float32", bwd_impl="xla",
+                     bwd_sub_j=None, interpret=False):
+    """Fused (or dense) coordinate-update aggregation, differentiable.
+
+    ``bwd_impl``/``bwd_sub_j``: see ``gcl_message_agg``."""
     if impl == "xla":
         return coord_update_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
@@ -906,7 +931,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
            float(normalization_factor), tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
-           mxu_precision, interpret)
+           mxu_precision, interpret, bwd_impl, bwd_sub_j)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean, d2_0))

@@ -55,6 +55,8 @@ class LigandPocketDDPM:
         egnn_impl: str = "auto",
         kernel_tile_i: int = 16,
         kernel_sub_j: int = 16,
+        kernel_bwd: str = "auto",
+        kernel_bwd_sub_j: Optional[int] = None,
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
         augment_noise: float = 0.0,
@@ -123,6 +125,8 @@ class LigandPocketDDPM:
             impl=egnn_impl,
             kernel_tile_i=kernel_tile_i,
             kernel_sub_j=kernel_sub_j,
+            kernel_bwd=kernel_bwd,
+            kernel_bwd_sub_j=kernel_bwd_sub_j,
             compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
             else jnp.float32,
             matmul_precision=matmul_precision,
@@ -455,6 +459,8 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
         kernel_tile_i=cfg.tpu.get("kernel_tile_i", 16),
         kernel_sub_j=cfg.tpu.get("kernel_sub_j", 16),
+        kernel_bwd=cfg.tpu.get("kernel_bwd", "auto"),
+        kernel_bwd_sub_j=cfg.tpu.get("kernel_bwd_sub_j"),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
         augment_noise=cfg.get("augment_noise", 0.0),

@@ -82,54 +82,89 @@ def create_train_state(params, lr: float) -> TrainState:
 
 
 def make_train_step(module, lr: float, clip_grad: bool = True,
-                    accumulate_grad_batches: int = 1):
+                    accumulate_grad_batches: int = 1, mesh=None):
     """Build the jitted train step for a LigandPocketDDPM module.
 
-    Data parallelism: jit with the batch sharded over the mesh 'data' axis
-    and params replicated; XLA GSPMD inserts the gradient all-reduce.
+    Data parallelism, two tiers:
 
-    ``accumulate_grad_batches`` > 1 splits the batch into micro-batches and
-    averages gradients inside one jitted ``lax.scan`` — the on-chip
-    equivalent of Lightning's accumulation (crossdock_fullatom_joint.yml
-    sets accumulate_grad_batches: 4).
+    * ``mesh=None`` (default): jit with the batch sharded over the mesh
+      'data' axis and params replicated; XLA GSPMD inserts the gradient
+      all-reduce.  Bit-identical to single-device execution.
+    * ``mesh=<multi-device Mesh>``: the loss+grad computation runs inside
+      ``shard_map`` over the 'data' axis — each device differentiates its
+      local batch shard and the gradients are ``pmean``-reduced over ICI.
+      This is required for the fused Pallas kernel path (``pallas_call`` is
+      opaque to GSPMD's propagation, which would otherwise all-gather the
+      batch and run the kernels replicated).  Like the reference's DDP ranks
+      (train.py:118-119), each shard folds its axis index into the step RNG,
+      so noise draws differ per shard (statistically, not bit-, identical
+      to the single-device step).
+
+    ``accumulate_grad_batches`` > 1 splits the (per-shard) batch into
+    micro-batches and averages gradients inside one jitted ``lax.scan`` —
+    the on-chip equivalent of Lightning's accumulation
+    (crossdock_fullatom_joint.yml sets accumulate_grad_batches: 4).
     """
     opt = make_optimizer(lr)
     k_acc = accumulate_grad_batches
+    use_shmap = mesh is not None and mesh.size > 1
+
+    def loss_fn(params, rng, lig, pkt):
+        return module.loss_fn(params, rng, lig, pkt, training=True)
+
+    def compute_grads(params, rng, ligand, pocket):
+        """(grads, loss, info) for one (possibly per-shard) batch, with
+        in-jit micro-batch accumulation."""
+        if k_acc <= 1:
+            (loss, info), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, rng, ligand, pocket)
+            return grads, loss, info
+
+        B = ligand["x"].shape[0]
+        assert B % k_acc == 0, (B, k_acc)
+
+        def split(d):
+            return jax.tree.map(
+                lambda a: a.reshape((k_acc, B // k_acc) + a.shape[1:]), d)
+
+        lig_mb, pkt_mb = split(ligand), split(pocket)
+        rngs = jax.random.split(rng, k_acc)
+
+        def micro(carry, inp):
+            lig, pkt, key = inp
+            (loss, info), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, key, lig, pkt)
+            acc_grads, acc_loss = carry
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+            return (acc_grads, acc_loss + loss), info
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss), infos = jax.lax.scan(
+            micro, (zero_grads, 0.0), (lig_mb, pkt_mb, rngs))
+        grads = jax.tree.map(lambda g: g / k_acc, grads)
+        loss = loss / k_acc
+        info = jax.tree.map(lambda x: x.mean(0), infos)
+        info["loss"] = loss
+        return grads, loss, info
+
+    if use_shmap:
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(params, rng, ligand, pocket):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            grads, loss, info = compute_grads(params, rng, ligand, pocket)
+            return jax.lax.pmean((grads, loss, info), "data")
+
+        grad_call = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), P(), P()), check_vma=False)
+    else:
+        grad_call = compute_grads
 
     @jax.jit
     def train_step(state: TrainState, rng, ligand, pocket):
-        def loss_fn(params, rng, lig, pkt):
-            return module.loss_fn(params, rng, lig, pkt, training=True)
-
-        if k_acc <= 1:
-            (loss, info), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, rng, ligand, pocket)
-        else:
-            B = ligand["x"].shape[0]
-            assert B % k_acc == 0, (B, k_acc)
-
-            def split(d):
-                return jax.tree.map(
-                    lambda a: a.reshape((k_acc, B // k_acc) + a.shape[1:]), d)
-
-            lig_mb, pkt_mb = split(ligand), split(pocket)
-            rngs = jax.random.split(rng, k_acc)
-
-            def micro(carry, inp):
-                lig, pkt, key = inp
-                (loss, info), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params, key, lig, pkt)
-                acc_grads, acc_loss = carry
-                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + loss), info
-
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss), infos = jax.lax.scan(
-                micro, (zero_grads, 0.0), (lig_mb, pkt_mb, rngs))
-            grads = jax.tree.map(lambda g: g / k_acc, grads)
-            loss = loss / k_acc
-            info = jax.tree.map(lambda x: x.mean(0), infos)
-            info["loss"] = loss
+        grads, loss, info = grad_call(state.params, rng, ligand, pocket)
 
         queue = state.queue
         if clip_grad:
@@ -238,9 +273,15 @@ class Trainer:
         # eval) runs on process 0 only, like the reference's rank-0 eval
         # (lightning_modules.py:385); the jitted steps run on all hosts
         self.is_main_process = _jax.process_index() == 0
+        # multi-device + fused-kernel path: explicit shard_map DP (GSPMD
+        # cannot partition pallas_call); otherwise GSPMD handles sharding
+        impl = module.dynamics._resolve_impl() \
+            if hasattr(module.dynamics, "_resolve_impl") else "xla"
         self.train_step = make_train_step(
             module, cfg.lr, cfg.clip_grad,
-            accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1))
+            accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1),
+            mesh=self.mesh if (self.mesh.size > 1 and impl == "pallas")
+            else None)
         self.eval_step = make_eval_step(module)
         self.best_val = float("inf")
         # per-step metric logging of every loss term, like the reference's

@@ -155,6 +155,44 @@ def test_train_step_multidevice(module_and_params):
                                float(info_single["loss"]), rtol=1e-4)
 
 
+def test_train_step_shard_map(module_and_params):
+    """Explicit shard_map DP tier (used for the Pallas-kernel path, which
+    GSPMD cannot partition): per-shard grads pmean-reduced, params stay
+    replicated, training progresses."""
+    cfg, module, params = module_and_params
+    mesh = make_mesh(4)
+    ligand, pocket = make_batch(jax.random.PRNGKey(1), module)
+
+    state = replicate(create_train_state(params, lr=1e-3), mesh)
+    train_step = make_train_step(module, lr=1e-3, clip_grad=True, mesh=mesh)
+    lig_s = shard_batch(ligand, mesh)
+    pkt_s = shard_batch(pocket, mesh)
+    losses = []
+    for i in range(4):
+        state, info = train_step(state, jax.random.PRNGKey(7), lig_s, pkt_s)
+        losses.append(float(info["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+    # outputs of the pmean'd shard_map stay replicated across the mesh
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_shard_map_grad_accum(module_and_params):
+    """shard_map DP composes with in-jit micro-batch accumulation."""
+    cfg, module, params = module_and_params
+    mesh = make_mesh(2)
+    ligand, pocket = make_batch(jax.random.PRNGKey(1), module)
+    state = replicate(create_train_state(params, lr=1e-3), mesh)
+    train_step = make_train_step(module, lr=1e-3, clip_grad=False,
+                                 accumulate_grad_batches=2, mesh=mesh)
+    state, info = train_step(state, jax.random.PRNGKey(7),
+                             shard_batch(ligand, mesh),
+                             shard_batch(pocket, mesh))
+    assert np.isfinite(float(info["loss"]))
+
+
 def test_eval_step(module_and_params):
     cfg, module, params = module_and_params
     ligand, pocket = make_batch(jax.random.PRNGKey(1), module)

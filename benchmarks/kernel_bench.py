@@ -118,6 +118,12 @@ def main():
     p.add_argument("--type-bias", action="store_true",
                    help="include the (2,2,F) edge-type table (flagship "
                         "configs have one; its per-node parts are folded)")
+    p.add_argument("--bits", action="store_true",
+                   help="SMEM-prefetched block-activity bits (production "
+                        "sampler path passes d2_0)")
+    p.add_argument("--update-rows", type=int, default=None,
+                   help="truncate the coord kernel grid to the leading rows "
+                        "(production conditional path uses the ligand count)")
     args = p.parse_args()
 
     _cache()
@@ -130,12 +136,16 @@ def main():
     tb = inp["tb"] if args.type_bias else None
     cutoffs = (None, 5.0, 5.0)
     kw = dict(cutoffs=cutoffs, attention=True, normalization_factor=100.0)
+    d2_0 = None
+    if args.bits:
+        d2_0 = jnp.sum((inp["x0"][:, :, None, :]
+                        - inp["x0"][:, None, :, :]) ** 2, -1)
 
     def gcl_step(a_row):
         out = K.gcl_message_agg_pallas(
             a_row, inp["a_col"], inp["x"], inp["x0"], inp["mask"],
             inp["is_lig"], inp["w_d2"], inp["w_d20"], tb, inp["w2"],
-            inp["b2"], inp["w_att"], inp["b_att"],
+            inp["b2"], inp["w_att"], inp["b_att"], d2_0=d2_0,
             mxu_precision=args.precision, sub_j=args.sub_j,
             tile_i=args.tile_i, **kw)
         return out * 0.05 + 0.1  # keep activations bounded across the chain
@@ -160,7 +170,8 @@ def main():
             inp["is_lig"], inp["w_d2"], inp["w_d20"], tb, inp["w2"],
             inp["b2"], inp["w3"], mxu_precision=args.precision,
             sub_j=args.sub_j, tile_i=args.tile_i, cross=cross,
-            graph_mean=graph_mean, **ckw)
+            graph_mean=graph_mean, d2_0=d2_0,
+            update_rows=args.update_rows, **ckw)
         return x + out * 0.01  # adjacency comes from x0, so drift is safe
 
     ms_coord = timeit(coord_step, inp["x"])
@@ -168,6 +179,7 @@ def main():
     result = {"shape": [args.batch, args.n, args.f],
               "precision": args.precision, "sub_j": args.sub_j,
               "tile_i": args.tile_i, "with_cross": args.with_cross,
+              "bits": args.bits, "update_rows": args.update_rows,
               "gcl_ms": round(ms_gcl, 2), "coord_ms": round(ms_coord, 2)}
 
     if not args.skip_xla:

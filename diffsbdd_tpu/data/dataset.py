@@ -101,6 +101,49 @@ class AppendVirtualNodes:
         return data
 
 
+def apply_virtual_nodes_batch(lig: Dict[str, np.ndarray],
+                              max_ligand_size: int, vidx: int,
+                              rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Vectorized batch-level twin of ``AppendVirtualNodes``.
+
+    Applies the virtual-node augmentation (reference utils.py:207-234) to an
+    already-collated padded ligand batch: rows ``[size_b, max_ligand_size)``
+    become 'virtual' atoms drawn from N(mu_b, sigma_b^2) around each ligand's
+    real atoms, and the one-hot table gains the virtual-atom column at
+    ``vidx``.  Lets ``PaddedLoader`` keep the native C++ gather-collate fast
+    path when the virtual-nodes transform is active (the per-item python
+    transform forces the slow per-item path).
+    """
+    B, n_pad, _ = lig["one_hot"].shape
+    assert max_ligand_size <= n_pad, (max_ligand_size, n_pad)
+    sizes = lig["size"].astype(np.int64)
+    idx = np.arange(n_pad)[None, :]
+    real = idx < sizes[:, None]
+    virt = (idx >= sizes[:, None]) & (idx < max_ligand_size)
+
+    x = lig["x"]
+    cnt = np.maximum(sizes, 1).astype(np.float64)[:, None]
+    mu = x.sum(1) / cnt                                        # (B, 3)
+    var = ((x - mu[:, None, :]) ** 2 * real[..., None]).sum(1) / cnt
+    sigma = np.sqrt(var).max(1)                                # (B,)
+    noise = rng.standard_normal((B, n_pad, 3))
+    xv = mu[:, None, :] + sigma[:, None, None] * noise
+    x = np.where(virt[..., None], xv, x).astype(np.float32)
+
+    one_hot = np.insert(lig["one_hot"], vidx, 0.0, axis=2)
+    one_hot[virt] = 0.0
+    one_hot[virt, vidx] = 1.0
+
+    mask = np.where(virt, 1.0, lig["mask"]).astype(np.float32)
+    out = dict(lig)
+    out.update(
+        x=x, one_hot=one_hot.astype(np.float32), mask=mask,
+        size=np.maximum(sizes, max_ligand_size).astype(np.int32),
+        num_virtual_atoms=np.maximum(
+            max_ligand_size - sizes, 0).astype(np.int32))
+    return out
+
+
 class LigandPocketDataset:
     """Per-complex view over a preprocessed npz split file.
 
@@ -229,7 +272,10 @@ class PaddedLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        use_native = self.dataset.transform is None
+        transform = self.dataset.transform
+        vnodes = (isinstance(transform, AppendVirtualNodes)
+                  and transform.max_ligand_size <= self.n_lig_max)
+        use_native = transform is None or vnodes
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size:
@@ -259,6 +305,10 @@ class PaddedLoader:
                 batch = self._native_batch(idx.astype(np.int64), n_lig,
                                            n_pocket)
                 if batch is not None:
+                    if vnodes:
+                        batch["ligand"] = apply_virtual_nodes_batch(
+                            batch["ligand"], transform.max_ligand_size,
+                            transform.vidx, transform.rng)
                     yield batch
                     continue
             items = [self.dataset[int(i)] for i in idx]

@@ -96,6 +96,69 @@ def test_virtual_nodes_transform(tmp_path):
     assert item["lig_one_hot"][: 12 - n_virt, 4].sum() == 0
 
 
+def test_virtual_nodes_batch_matches_transform(tmp_path):
+    """apply_virtual_nodes_batch == per-item AppendVirtualNodes on all
+    deterministic fields (virtual coords are random draws; compare their
+    statistics instead)."""
+    from diffsbdd_tpu.data.dataset import apply_virtual_nodes_batch
+
+    path = make_npz(tmp_path)
+    encoder = {"C": 0, "N": 1, "O": 2, "S": 3, "Ne": 4}
+    max_size, vidx = 12, 4
+
+    ds_plain = LigandPocketDataset(path)
+    items = [ds_plain[i] for i in range(3)]
+    plain = pad_batch(items, n_lig=16, n_pocket=24)
+    out = apply_virtual_nodes_batch(plain["ligand"], max_size, vidx,
+                                    np.random.default_rng(0))
+
+    tf = AppendVirtualNodes(max_size, encoder, "Ne",
+                            rng=np.random.default_rng(0))
+    ds_tf = LigandPocketDataset(path, transform=tf)
+    truth = pad_batch([ds_tf[i] for i in range(3)], n_lig=16, n_pocket=24)
+
+    np.testing.assert_array_equal(out["mask"], truth["ligand"]["mask"])
+    np.testing.assert_array_equal(out["size"], truth["ligand"]["size"])
+    np.testing.assert_array_equal(out["num_virtual_atoms"],
+                                  truth["ligand"]["num_virtual_atoms"])
+    np.testing.assert_array_equal(out["one_hot"][..., vidx],
+                                  truth["ligand"]["one_hot"][..., vidx])
+    for b, item in enumerate(items):
+        n_real = len(item["lig_coords"])
+        # real rows untouched (coords + types, with the inserted column)
+        np.testing.assert_allclose(out["x"][b, :n_real],
+                                   truth["ligand"]["x"][b, :n_real])
+        np.testing.assert_array_equal(
+            out["one_hot"][b, :n_real], truth["ligand"]["one_hot"][b, :n_real])
+        # virtual rows: correct type column and draws near the ligand
+        mu = item["lig_coords"].mean(0)
+        sigma = item["lig_coords"].std(0).max()
+        virt = out["x"][b, n_real:max_size]
+        assert np.all(np.abs(virt - mu) < 8 * sigma)
+
+
+def test_padded_loader_native_path_with_virtual_nodes(tmp_path):
+    """The loader applies virtual nodes on the native fast path (or the
+    python fallback) with identical batch semantics."""
+    path = make_npz(tmp_path)
+    encoder = {"C": 0, "N": 1, "O": 2, "S": 3, "Ne": 4}
+    tf = AppendVirtualNodes(12, encoder, "Ne", rng=np.random.default_rng(0))
+    ds = LigandPocketDataset(path, transform=tf)
+    loader = PaddedLoader(ds, batch_size=3, lig_bucket=16, pocket_bucket=8,
+                          shuffle=False)
+    assert loader.n_lig_max >= 12
+    for batch in loader:
+        lig = batch["ligand"]
+        assert lig["one_hot"].shape[-1] == 5
+        np.testing.assert_array_equal(lig["size"],
+                                      np.full(3, 12, np.int32))
+        np.testing.assert_array_equal(lig["mask"].sum(1), lig["size"])
+        assert "num_virtual_atoms" in lig
+        # every item has exactly num_virtual_atoms Ne-typed atoms
+        np.testing.assert_array_equal(lig["one_hot"][..., 4].sum(1),
+                                      lig["num_virtual_atoms"])
+
+
 def test_padded_loader_process_sharding(tmp_path):
     """Multi-host DP semantics: each process's slices are disjoint, cover the
     global batch exactly, and agree with the single-process loader given the

@@ -176,16 +176,19 @@ def main():
     if smoke:
         T, batches, impl = 10, (4, 2), "xla"
 
-    # fused Pallas EGNN kernels; 'float32_x3' keeps the XLA glue at exact
-    # f32 and runs the kernels' pair-MLP dots as 3-pass bf16 splits (3.8e-6
-    # max eps deviation on outputs of scale 2.65 — effectively exact; see
-    # benchmarks/precision_validation.py for full-chain evidence).  The
-    # kernels skip cutoff-inactive 32-column blocks (~40% active at 16x32 on
-    # this pocket) and, in conditional mode, the coordinate kernel only
-    # computes the ligand row tiles (pocket coordinates are frozen) —
-    # measured ~21 ms/step eps-net at B=8 vs 61 ms at strict f32 dense.
+    # fused Pallas EGNN kernels; 'float32_x2' keeps the XLA glue at exact
+    # f32 and runs the kernels' pair-MLP dots as 2-pass bf16 splits
+    # (activation low bits kept, weight low bits dropped).  Validated over
+    # the full T=500 chain vs strict f32 (benchmarks/precision_validation.py,
+    # PRECISION_r02.json): coord max dev 0.020 A, RMS 0.004 A, ZERO type
+    # flips, single-step eps dev 1e-5 — chemically indistinguishable.  The
+    # exact-grade 3-pass tier ('float32_x3', 1.7e-4 A max dev) costs ~19%
+    # more (one extra MXU pass, measured 6.4 ms/step at B=32).  The kernels
+    # skip cutoff-inactive 16-column blocks via SMEM-prefetched activity
+    # bits, and in conditional mode the coordinate kernel only computes the
+    # ligand row tiles (pocket coordinates are frozen).
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
-                                   matmul_precision="float32_x3",
+                                   matmul_precision="float32_x2",
                                    egnn_impl=impl)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 

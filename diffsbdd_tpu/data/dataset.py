@@ -239,6 +239,10 @@ class PaddedLoader:
         self.process_index = process_index
         self.process_count = process_count
         nl, npk = dataset.max_sizes()
+        if isinstance(dataset.transform, AppendVirtualNodes):
+            # the transform pads every ligand to its fixed size; max_sizes()
+            # sees only the raw (untransformed) complexes
+            nl = max(nl, dataset.transform.max_ligand_size)
         self.n_lig_max = round_to_bucket(nl, lig_bucket)
         self.n_pocket_max = round_to_bucket(npk, pocket_bucket)
 
@@ -273,9 +277,7 @@ class PaddedLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         transform = self.dataset.transform
-        vnodes = (isinstance(transform, AppendVirtualNodes)
-                  and transform.max_ligand_size <= self.n_lig_max)
-        use_native = transform is None or vnodes
+        vnodes = isinstance(transform, AppendVirtualNodes)
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size:
@@ -295,12 +297,20 @@ class PaddedLoader:
             if self.fixed_shape:
                 n_lig, n_pocket = self.n_lig_max, self.n_pocket_max
             else:
-                n_lig = round_to_bucket(
-                    max(len(self.dataset.data["lig_coords"][int(i)])
-                        for i in idx), self.lig_bucket)
+                raw_max = max(len(self.dataset.data["lig_coords"][int(i)])
+                              for i in idx)
+                if vnodes:
+                    # the transform pads every ligand to its fixed size
+                    raw_max = max(raw_max, transform.max_ligand_size)
+                n_lig = round_to_bucket(raw_max, self.lig_bucket)
                 n_pocket = round_to_bucket(
                     max(len(self.dataset.data["pocket_coords"][int(i)])
                         for i in idx), self.pocket_bucket)
+            # the vnode fast path needs the batch's ACTUAL pad width to fit
+            # the fixed virtual-node size (with fixed_shape=False the
+            # per-batch n_lig can be smaller than n_lig_max)
+            use_native = transform is None or (
+                vnodes and transform.max_ligand_size <= n_lig)
             if use_native:
                 batch = self._native_batch(idx.astype(np.int64), n_lig,
                                            n_pocket)

@@ -93,7 +93,7 @@ def _edge_bias(d2, d2_0, w_d2, w_d20, lig_i, lig_j, type_bias):
 
 
 def _block_activity_bits(d2_0, mask, col_mask, is_lig, cutoffs,
-                         tile_i, sub_j, n_row_tiles):
+                         tile_i, sub_j, n_row_tiles, tile_j=TILE_J):
     """Per-row-tile bitmask of cutoff-active ``sub_j``-column blocks.
 
     Computed in XLA from a shared (B, N, N) squared-distance matrix so the
@@ -106,7 +106,10 @@ def _block_activity_bits(d2_0, mask, col_mask, is_lig, cutoffs,
     """
     B, N, _ = d2_0.shape
     n_sub = N // sub_j
-    n_per_tile = min(TILE_J, N) // sub_j
+    # one int32 word per (row-tile, COLUMN-tile): the packing width must
+    # match the kernel grid's tile_j, or bits_ref[pb, i, j] tests the wrong
+    # column blocks for tile_j != 128
+    n_per_tile = min(tile_j, N) // sub_j
     assert n_per_tile <= 31, (N, sub_j)  # one int32 word per (row, col) tile
     slack = [None if c is None else c * (1.0 + 1e-6) for c in cutoffs]
     adj = _adjacency_dense(d2_0, mask, is_lig, tuple(slack),
@@ -395,7 +398,7 @@ def gcl_message_agg_pallas(
     if use_bits:
         bits = _block_activity_bits(
             d2_0, mask, mask if col_mask is None else col_mask, is_lig,
-            cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles)
+            cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -661,7 +664,7 @@ def coord_update_agg_pallas(
     if use_bits:
         bits = _block_activity_bits(
             d2_0, mask, mask, is_lig, cutoffs, tile_i, min(sub_j, tile_j),
-            n_row_tiles)
+            n_row_tiles, tile_j=tile_j)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -483,7 +483,7 @@ def gcl_agg_bwd_pallas(
     if d2_0 is not None:
         bits = _block_activity_bits(
             d2_0, mask, mask if col_mask is None else col_mask, is_lig,
-            cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles)
+            cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1029,7 +1029,7 @@ def coord_agg_bwd_pallas(
     if d2_0 is not None:
         bits = _block_activity_bits(
             d2_0, mask, mask, is_lig, cutoffs, tile_i,
-            min(sub_j, tile_j), n_row_tiles)
+            min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

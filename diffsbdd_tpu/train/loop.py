@@ -121,7 +121,14 @@ def make_train_step(module, lr: float, clip_grad: bool = True,
             return grads, loss, info
 
         B = ligand["x"].shape[0]
-        assert B % k_acc == 0, (B, k_acc)
+        if B % k_acc != 0:
+            # on the shard_map tier B is the PER-SHARD batch, i.e. the
+            # global batch must be divisible by mesh.size * k_acc
+            raise ValueError(
+                f"accumulate_grad_batches={k_acc} must divide the "
+                f"{'per-shard ' if use_shmap else ''}batch size {B}"
+                + (f" (= global batch / {mesh.size} devices)"
+                   if use_shmap else ""))
 
         def split(d):
             return jax.tree.map(
@@ -187,11 +194,36 @@ def make_train_step(module, lr: float, clip_grad: bool = True,
     return train_step
 
 
-def make_eval_step(module):
-    @jax.jit
-    def eval_step(params, rng, ligand, pocket):
+def make_eval_step(module, mesh=None):
+    """Validation loss step.
+
+    ``mesh``: same contract as ``make_train_step`` — on a multi-device mesh
+    with the fused Pallas kernels, evaluation must also run inside
+    ``shard_map`` (``pallas_call`` is opaque to GSPMD, which would otherwise
+    all-gather the batch and run the kernels replicated on every device).
+    """
+    def loss_info(params, rng, ligand, pocket):
         _, info = module.loss_fn(params, rng, ligand, pocket, training=False)
         return info
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(params, rng, ligand, pocket):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            info = loss_info(params, rng, ligand, pocket)
+            return jax.lax.pmean(info, "data")
+
+        call = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P(), check_vma=False)
+    else:
+        call = loss_info
+
+    @jax.jit
+    def eval_step(params, rng, ligand, pocket):
+        return call(params, rng, ligand, pocket)
 
     return eval_step
 
@@ -277,12 +309,20 @@ class Trainer:
         # cannot partition pallas_call); otherwise GSPMD handles sharding
         impl = module.dynamics._resolve_impl() \
             if hasattr(module.dynamics, "_resolve_impl") else "xla"
+        k_acc = cfg.get("accumulate_grad_batches", 1)
+        shmap_mesh = self.mesh \
+            if (self.mesh.size > 1 and impl == "pallas") else None
+        if shmap_mesh is not None and k_acc > 1 \
+                and (cfg.batch_size // self.mesh.size) % k_acc != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} over {self.mesh.size} devices "
+                f"gives per-shard batch {cfg.batch_size // self.mesh.size}, "
+                f"not divisible by accumulate_grad_batches={k_acc}; adjust "
+                f"batch_size or tpu.mesh_data")
         self.train_step = make_train_step(
             module, cfg.lr, cfg.clip_grad,
-            accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1),
-            mesh=self.mesh if (self.mesh.size > 1 and impl == "pallas")
-            else None)
-        self.eval_step = make_eval_step(module)
+            accumulate_grad_batches=k_acc, mesh=shmap_mesh)
+        self.eval_step = make_eval_step(module, mesh=shmap_mesh)
         self.best_val = float("inf")
         # per-step metric logging of every loss term, like the reference's
         # self.log_metrics(info, 'train') each training_step

@@ -159,6 +159,24 @@ def test_padded_loader_native_path_with_virtual_nodes(tmp_path):
                                       lig["num_virtual_atoms"])
 
 
+def test_padded_loader_virtual_nodes_bucketed_shapes(tmp_path):
+    """fixed_shape=False + virtual nodes: per-batch pad width must cover the
+    transform's fixed ligand size (regression: the native-path gate compared
+    against the global max and the bucketed python path could under-pad)."""
+    path = make_npz(tmp_path)
+    encoder = {"C": 0, "N": 1, "O": 2, "S": 3, "Ne": 4}
+    tf = AppendVirtualNodes(12, encoder, "Ne", rng=np.random.default_rng(0))
+    ds = LigandPocketDataset(path, transform=tf)
+    loader = PaddedLoader(ds, batch_size=3, lig_bucket=8, pocket_bucket=8,
+                          shuffle=False, fixed_shape=False)
+    for batch in loader:
+        lig = batch["ligand"]
+        assert lig["x"].shape[1] >= 12
+        np.testing.assert_array_equal(lig["size"], np.full(3, 12, np.int32))
+        np.testing.assert_array_equal(lig["one_hot"][..., 4].sum(1),
+                                      lig["num_virtual_atoms"])
+
+
 def test_padded_loader_process_sharding(tmp_path):
     """Multi-host DP semantics: each process's slices are disjoint, cover the
     global batch exactly, and agree with the single-process loader given the

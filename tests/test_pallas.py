@@ -41,6 +41,22 @@ def test_gcl_agg_matches_xla(cutoffs, attention):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_j", [64, 128])
+def test_gcl_agg_bits_nondefault_tile_j(tile_j):
+    """Regression: the block-activity bit packing must match the kernel's
+    tile_j — with the packing hard-coded to 128, tile_j=64 read the wrong
+    int32 word per column tile and silently skipped active blocks."""
+    ops = make_inputs(jax.random.PRNGKey(4))
+    x0 = ops[3]
+    d2_0 = jnp.sum((x0[:, :, None, :] - x0[:, None, :, :]) ** 2, -1)
+    kw = dict(cutoffs=(None, 4.0, 4.0), attention=True,
+              normalization_factor=100.0)
+    ref = ep.gcl_message_agg_xla(*ops, **kw)
+    got = ep.gcl_message_agg(*ops, **kw, impl="pallas", interpret=True,
+                             tile_j=tile_j, d2_0=d2_0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_gcl_agg_no_type_bias():
     ops = make_inputs(jax.random.PRNGKey(1), with_type_bias=False)
     kw = dict(cutoffs=(None, 4.0, 6.0), attention=True,

@@ -113,7 +113,8 @@ def main(argv=None):
         import wandb as wandb_mod  # noqa: F811 — module for Image/Video
     evaluator = SamplingEvaluator(
         module, dataset=val_ds, dataset_smiles=train_smiles,
-        outdir=Path(cfg.logdir) / cfg.run_name / "eval", wandb=wandb_mod)
+        outdir=Path(cfg.logdir) / cfg.run_name / "eval", wandb=wandb_mod,
+        datadir=cfg.datadir)
 
     trainer = Trainer(module, cfg, train_loader, val_loader,
                       logger=logger, evaluator=evaluator)

@@ -400,7 +400,9 @@ class JointDDPM(DDPMBase):
         mu_pkt = z_pkt / alpha_tgs[:, None, :] - coef * eps_pkt
         sigma = (sigma_tgs[:, None, :] * sigma_s / sigma_t)
 
-        k1, k2 = jax.random.split(key)
+        # split kept (not key used directly) so existing trajectories stay
+        # bit-identical; the second half is unused by design
+        k1, _ = jax.random.split(key)
         noise_lig, noise_pkt = self.sample_combined_noise(
             k1, {"mask": lig_mask}, {"mask": pkt_mask})
         zs_lig = (mu_lig + sigma * noise_lig) * lig_mask[..., None]
@@ -1346,7 +1348,43 @@ class SimpleConditionalDDPM(ConditionalDDPM):
         ligand, pocket = self._center_on_pocket(ligand, pocket)
         return super().loss_terms(params, rng, ligand, pocket, training)
 
+    # Every sampling entrypoint must enter the pocket-CoM frame first: the
+    # reference funnels all sampling through one method that centers
+    # (conditional_model.py:738-746); here the segmented and chain variants
+    # are separate entrypoints and remove_mean_simple is the identity, so a
+    # missing centering would leave the prior mean at absolute PDB
+    # coordinates (tens of A, amplified ~1/alpha_T through the chain).
+
     def sample_given_pocket(self, params, rng, pocket, lig_mask, timesteps=None):
         _, pocket = self._center_on_pocket(None, pocket)
         return super().sample_given_pocket(
             params, rng, pocket, lig_mask, timesteps=timesteps)
+
+    def sample_given_pocket_segmented(self, params, rng, pocket, lig_mask,
+                                      timesteps=None, segment: int = 100,
+                                      shared_pocket: bool = False):
+        _, pocket = self._center_on_pocket(None, pocket)
+        return super().sample_given_pocket_segmented(
+            params, rng, pocket, lig_mask, timesteps=timesteps,
+            segment=segment, shared_pocket=shared_pocket)
+
+    def sample_given_pocket_chain(self, params, rng, pocket, lig_mask,
+                                  timesteps=None, return_frames: int = 1):
+        _, pocket = self._center_on_pocket(None, pocket)
+        return super().sample_given_pocket_chain(
+            params, rng, pocket, lig_mask, timesteps=timesteps,
+            return_frames=return_frames)
+
+    def diversify(self, params, rng, ligand, pocket, noising_steps,
+                  shared_pocket: bool = False):
+        # the base's remove_mean is an identity here, so the pocket-CoM
+        # frame must be entered explicitly
+        ligand, pocket = self._center_on_pocket(ligand, pocket)
+        # keyword: noising_steps is static by NAME on the base's jit
+        return super().diversify(params, rng, ligand, pocket,
+                                 noising_steps=noising_steps,
+                                 shared_pocket=shared_pocket)
+
+    # inpaint needs no override: _cond_inpaint_prep centers on the
+    # ligand/pocket CoM itself (translation-invariant in its inputs), so
+    # the frame is correct for this model class too.

@@ -30,7 +30,7 @@ def residues_to_atoms(x_ca: np.ndarray, atom_encoder) -> np.ndarray:
 
 class SamplingEvaluator:
     def __init__(self, module, dataset=None, dataset_smiles=None,
-                 outdir="eval_out", wandb=None):
+                 outdir="eval_out", wandb=None, datadir=None):
         self.module = module
         self.dataset = dataset  # validation LigandPocketDataset
         self.dataset_smiles = dataset_smiles
@@ -39,6 +39,16 @@ class SamplingEvaluator:
         # the wandb MODULE (not a run): rendered molecule images and chain
         # GIFs are logged like the reference (visualization.py:336-369)
         self.wandb = wandb
+        # processed-data directory holding val/<RECEPTOR>.pdb files; when
+        # set, conditional eval passes resolved receptor paths so
+        # analyze_samples can compute smina_score (lightning_modules.py:549)
+        self.datadir = datadir
+
+    def _receptor_path(self, receptor_name: str):
+        """lightning_modules.py get_full_path: '1abc.bio1' ->
+        datadir/val/1ABC-bio1.pdb."""
+        pdb, _, suffix = str(receptor_name).partition(".")
+        return Path(self.datadir, "val", f"{pdb.upper()}-{suffix}.pdb")
 
     # ------------------------------------------------------------- dispatch
     def sample_and_analyze(self, params, rng, n_samples, batch_size=None,
@@ -55,7 +65,12 @@ class SamplingEvaluator:
         mod = self.module
         molecules, atom_types, aa_types = [], [], []
         size_rng = size_rng or np.random.default_rng(0)
-        while len(molecules) < n_samples:
+        # bounded batch loop like the reference (lightning_modules.py:506):
+        # analyzing slightly fewer molecules beats hanging the training run
+        # if a batch yields no usable molecules
+        for _ in range(-(-n_samples // batch_size)):
+            if len(molecules) >= n_samples:
+                break
             n = min(batch_size, n_samples - len(molecules))
             n_lig, n_pkt = mod.ddpm.size_distribution.sample(n, rng=size_rng)
             nl_pad = round_to_bucket(int(n_lig.max()), mod.lig_bucket)
@@ -94,13 +109,14 @@ class SamplingEvaluator:
         mod = self.module
         size_rng = size_rng or np.random.default_rng(0)
         molecules, atom_types, aa_types, receptors = [], [], [], []
-        i = 0
-        while len(molecules) < n_samples:
+        # bounded loop (lightning_modules.py:506) — see _analyze_joint
+        for i in range(-(-n_samples // batch_size)):
+            if len(molecules) >= n_samples:
+                break
             n = min(batch_size, n_samples - len(molecules))
             _, pocket, recs = self._val_pocket_batch(
                 list(range(i * batch_size, i * batch_size + n)))
             receptors.extend(recs)
-            i += 1
             if mod.virtual_nodes:
                 num_nodes = np.full(n, mod.max_num_nodes)
             else:
@@ -120,8 +136,11 @@ class SamplingEvaluator:
             aa_types.extend(
                 np.asarray(xh_pkt[..., 3:].argmax(-1))[
                     np.asarray(pocket["mask"]) > 0].tolist())
+        recs = [self._receptor_path(r) for r in receptors] \
+            if self.datadir is not None else None
         return mod.analyze_samples(molecules[:n_samples], atom_types,
-                                   aa_types, dataset_smiles=self.dataset_smiles)
+                                   aa_types, receptors=recs,
+                                   dataset_smiles=self.dataset_smiles)
 
     # ------------------------------------------------------------- helpers
     def _to_molecules(self, xh_lig, lig_mask, strip_virtual=False):
@@ -160,9 +179,14 @@ class SamplingEvaluator:
             pocket_mask = pkt_mask
         else:
             _, pocket, _ = self._val_pocket_batch(list(range(n_samples)))
-            num_nodes = mod.ddpm.size_distribution.sample_conditional(
-                n2=np.asarray(pocket["size"]), rng=size_rng)
-            num_nodes = np.clip(num_nodes, 1, None)
+            if mod.virtual_nodes:
+                # virtual-node models always generate at the fixed padded
+                # size (lightning_modules.py:583-587)
+                num_nodes = np.full(n_samples, mod.max_num_nodes)
+            else:
+                num_nodes = mod.ddpm.size_distribution.sample_conditional(
+                    n2=np.asarray(pocket["size"]), rng=size_rng)
+                num_nodes = np.clip(num_nodes, 1, None)
             nl_pad = round_to_bucket(int(num_nodes.max()), mod.lig_bucket)
             lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, nl_pad))
             xh_lig, xh_pkt = mod.ddpm.sample_given_pocket(
@@ -195,9 +219,14 @@ class SamplingEvaluator:
             pocket_mask = pkt_mask
         else:
             _, pocket, _ = self._val_pocket_batch([0])
-            num_nodes = mod.ddpm.size_distribution.sample_conditional(
-                n2=np.asarray(pocket["size"]), rng=size_rng)
-            num_nodes = np.clip(num_nodes, 1, None)
+            if mod.virtual_nodes:
+                # fixed padded size for virtual-node models
+                # (lightning_modules.py:666-670)
+                num_nodes = np.full(1, mod.max_num_nodes)
+            else:
+                num_nodes = mod.ddpm.size_distribution.sample_conditional(
+                    n2=np.asarray(pocket["size"]), rng=size_rng)
+                num_nodes = np.clip(num_nodes, 1, None)
             nl_pad = round_to_bucket(int(num_nodes.max()), mod.lig_bucket)
             lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, nl_pad))
             frames_lig, frames_pkt = mod.ddpm.sample_given_pocket_chain(
@@ -210,13 +239,13 @@ class SamplingEvaluator:
         for f in range(n_frames):
             self._write_complex_xyz(outdir, frames_lig[f], lig_mask,
                                     frames_pkt[f], pocket_mask,
-                                    name=f"chain_{f:04d}", argmax_h=True)
+                                    name=f"chain_{f:04d}")
         gif = visualize_chain(str(outdir), self.module.dataset_info,
                               wandb=self.wandb)
         return gif
 
     def _write_complex_xyz(self, outdir, xh_lig, lig_mask, xh_pkt, pkt_mask,
-                           name="molecule", argmax_h=False):
+                           name="molecule"):
         mod = self.module
         outdir = Path(outdir)
         outdir.mkdir(parents=True, exist_ok=True)

@@ -9,6 +9,7 @@ and optimizer state live with the training loop.
 from __future__ import annotations
 
 import math
+import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -202,7 +203,10 @@ class LigandPocketDDPM:
 
         lig_size = ligand["size"].astype(jnp.float32)
         pkt_size = pocket["size"].astype(jnp.float32)
-        if self.virtual_nodes and "num_virtual_atoms" in ligand:
+        if self.virtual_nodes:
+            # missing key must be an error, not a silent fallback: using the
+            # full (padded) ligand size would mis-normalize the x-term of the
+            # l2 loss (reference raises KeyError, lightning_modules.py:247)
             actual_lig_size = lig_size - ligand["num_virtual_atoms"].astype(
                 jnp.float32)
         else:
@@ -328,9 +332,9 @@ class LigandPocketDDPM:
 
         pocket = self.prepare_pocket(residues, repeats=n_samples)
 
-        pocket_com_before = np.asarray(
-            jnp.sum(pocket["x"] * pocket["mask"][..., None], 1)
-            / jnp.sum(pocket["mask"], 1)[..., None])
+        from diffsbdd_tpu.ops.masked import masked_mean
+        pocket_com_before = np.asarray(masked_mean(pocket["x"],
+                                                   pocket["mask"]))
 
         if num_nodes_lig is None:
             if self.virtual_nodes:
@@ -432,12 +436,15 @@ class LigandPocketDDPM:
             "QED": qed, "SA": sa, "LogP": logp, "Lipinski": lipinski,
             "Diversity": diversity,
         }
-        if receptors is not None:
+        if receptors is not None and connected \
+                and all(Path(r).exists() for r in receptors):
             try:
                 out["smina_score"] = float(
                     np.mean(smina_score(connected, receptors)))
-            except FileNotFoundError:
-                pass
+            except (FileNotFoundError, OSError, RuntimeError) as e:
+                # smina missing or scoring failure: skip the metric, never
+                # sink the training eval
+                warnings.warn(f"smina scoring skipped: {e}")
         return out
 
 

@@ -242,6 +242,44 @@ def test_simple_conditional_sampling(setup):
             p1[b][v], p0[b][v] - p0[b][v].mean(0), atol=1e-4)
 
 
+def test_simple_conditional_segmented_and_chain_center(setup):
+    """Regression: ALL SimpleConditionalDDPM sampling entrypoints must enter
+    the pocket-CoM frame (only sample_given_pocket did; the segmented/chain
+    variants ran at absolute coordinates — garbage for off-center pockets)."""
+    ligand, pocket, models = setup
+    ddpm, params = models["SimpleConditionalDDPM"]
+    lig_mask = jnp.asarray(num_nodes_to_mask(np.array([5, 3]), NL))
+    # shift the pocket far off-center: results must be invariant
+    far = dict(pocket)
+    far["x"] = (pocket["x"] + 100.0) * pocket["mask"][..., None]
+
+    ref_l, ref_p = ddpm.sample_given_pocket(
+        params, jax.random.PRNGKey(10), pocket, lig_mask)
+
+    seg_l, seg_p = ddpm.sample_given_pocket_segmented(
+        params, jax.random.PRNGKey(10), far, lig_mask, segment=4)
+    np.testing.assert_allclose(np.asarray(seg_l), np.asarray(ref_l),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(seg_p), np.asarray(ref_p),
+                               atol=1e-3)
+
+    frames_l, _ = ddpm.sample_given_pocket_chain(
+        params, jax.random.PRNGKey(10), far, lig_mask, return_frames=1)
+    np.testing.assert_allclose(np.asarray(frames_l[-1]), np.asarray(ref_l),
+                               atol=1e-3)
+
+    # diversify also relies on the explicit centering (remove_mean is the
+    # identity here): invariance to the pocket shift
+    div_ref = ddpm.diversify(params, jax.random.PRNGKey(11), ligand, pocket,
+                             noising_steps=3)
+    lig_far = dict(ligand)
+    lig_far["x"] = (ligand["x"] + 100.0) * ligand["mask"][..., None]
+    div_far = ddpm.diversify(params, jax.random.PRNGKey(11), lig_far, far,
+                             noising_steps=3)
+    np.testing.assert_allclose(np.asarray(div_far[0]), np.asarray(div_ref[0]),
+                               atol=1e-3)
+
+
 def test_repaint_schedule():
     ddpm = make_ddpm(JointDDPM)
     # resamplings=1, jump=1 -> plain reverse schedule

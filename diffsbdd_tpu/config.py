@@ -125,6 +125,10 @@ _DEFAULTS: Dict[str, Any] = {
         "kernel_bwd_sub_j": None, # backward skip granularity (None -> fwd's)
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
+        "nan_check": False,       # abort (host callback) on NaN EGNN
+                                  # velocities, reference eval semantics
+                                  # (dynamics.py:155-161); costs one host
+                                  # sync per forward
     },
 }
 

@@ -49,14 +49,20 @@ def _mlp2(sd: Dict, prefix: str) -> Dict:
     }
 
 
-def _coord_mlp(sd: Dict, prefix: str) -> Dict:
-    return {
+def _coord_mlp(sd: Dict, prefix: str, tied_head: bool = False) -> Dict:
+    """``tied_head``: the cross_product_mlp's final (hidden, 1) head is the
+    SAME nn.Linear instance as coord_mlp's in the reference
+    (egnn_new.py:78-93), so the flax tree omits it (the module reads the
+    shared parameter from coord_mlp at call time)."""
+    out = {
         "lin0_kernel": _t(sd[f"{prefix}.0.weight"]),
         "lin0_bias": _v(sd[f"{prefix}.0.bias"]),
         "lin1": {"kernel": _t(sd[f"{prefix}.2.weight"]),
                  "bias": _v(sd[f"{prefix}.2.bias"])},
-        "lin2": {"kernel": _t(sd[f"{prefix}.4.weight"])},  # no bias
     }
+    if not tied_head:
+        out["lin2"] = {"kernel": _t(sd[f"{prefix}.4.weight"])}  # no bias
+    return out
 
 
 def _gcl(sd: Dict, prefix: str, attention: bool) -> Dict:
@@ -111,7 +117,7 @@ def convert_state_dict(state_dict: Dict[str, Any], n_layers: int,
             equiv = {"coord_mlp": _coord_mlp(sd, f"{bp}.gcl_equiv.coord_mlp")}
             if not reflection_equiv:
                 equiv["cross_product_mlp"] = _coord_mlp(
-                    sd, f"{bp}.gcl_equiv.cross_product_mlp")
+                    sd, f"{bp}.gcl_equiv.cross_product_mlp", tied_head=True)
             block["gcl_equiv"] = equiv
             egnn[f"e_block_{i}"] = block
         dp["egnn"] = egnn
@@ -161,12 +167,13 @@ def export_state_dict(params: Dict, attention: bool, reflection_equiv: bool,
         sd[f"{prefix}.2.weight"] = _t(tree["lin2"]["kernel"])
         sd[f"{prefix}.2.bias"] = _v(tree["lin2"]["bias"])
 
-    def put_coord(prefix, tree):
+    def put_coord(prefix, tree, shared_head=None):
         sd[f"{prefix}.0.weight"] = _t(tree["lin0_kernel"])
         sd[f"{prefix}.0.bias"] = _v(tree["lin0_bias"])
         sd[f"{prefix}.2.weight"] = _t(tree["lin1"]["kernel"])
         sd[f"{prefix}.2.bias"] = _v(tree["lin1"]["bias"])
-        sd[f"{prefix}.4.weight"] = _t(tree["lin2"]["kernel"])
+        head = tree["lin2"]["kernel"] if shared_head is None else shared_head
+        sd[f"{prefix}.4.weight"] = _t(head)
 
     def put_gcl(prefix, tree):
         sd[f"{prefix}.edge_mlp.0.weight"] = _t(tree["edge_mlp_0_kernel"])
@@ -205,8 +212,12 @@ def export_state_dict(params: Dict, attention: bool, reflection_equiv: bool,
         put_coord(f"{prefix}.gcl_equiv.coord_mlp",
                   block["gcl_equiv"]["coord_mlp"])
         if not reflection_equiv:
+            # tied head: the torch layout aliases one tensor under both
+            # keys, so export writes coord_mlp's head here too
             put_coord(f"{prefix}.gcl_equiv.cross_product_mlp",
-                      block["gcl_equiv"]["cross_product_mlp"])
+                      block["gcl_equiv"]["cross_product_mlp"],
+                      shared_head=block["gcl_equiv"]["coord_mlp"]["lin2"]
+                      ["kernel"])
 
     if gamma_table is not None:
         sd["ddpm.gamma.gamma"] = np.asarray(gamma_table, np.float32)

@@ -160,9 +160,11 @@ try:  # flax is a baked-in dependency; guard only to keep numpy-only imports lig
             in_features = x.shape[-1]
 
             def kernel_init(key, shape, dtype=jnp.float32):
-                # kaiming-uniform equivalent plus the negative offset so that
-                # softplus(w) starts small, as in the reference init.
-                bound = math.sqrt(6.0 / shape[0]) / math.sqrt(2.0)
+                # torch kaiming_uniform_(a=sqrt(5)) (the reference/nn.Linear
+                # default): gain = sqrt(2/(1+5)) = 1/sqrt(3), bound =
+                # gain*sqrt(3/fan_in) = 1/sqrt(fan_in); plus the negative
+                # offset so softplus(w) starts small.
+                bound = 1.0 / math.sqrt(shape[0])
                 w = jax.random.uniform(key, shape, dtype, -bound, bound)
                 return w + self.weight_init_offset
 

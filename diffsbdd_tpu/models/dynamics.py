@@ -59,6 +59,15 @@ def build_adjacency(
     return jnp.concatenate([top, bottom], axis=1)
 
 
+def _type_edge_attr(is_lig, type_table):
+    """Dense (B, N, N, F) edge-type embedding: 0=cross, 1=lig-lig,
+    2=pkt-pkt (dynamics.py:116-121 edge-type channel)."""
+    both_lig = is_lig[:, :, None] * is_lig[:, None, :]
+    both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
+    edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
+    return type_table[edge_type]
+
+
 class _EncoderMLP(nn.Module):
     """Linear(d -> 2*d_ref), silu, Linear(2*d_ref -> out)."""
 
@@ -97,6 +106,10 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     n_dims: int = 3
     zero_nan: bool = False  # training-time NaN guard (dynamics.py:155-158)
+    nan_check: bool = False  # eval-time NaN abort (dynamics.py:155-161):
+    # raises from a host callback when the EGNN emits NaN velocities, so a
+    # numerical blowup aborts with a pointer to the cause instead of
+    # emitting garbage molecules; off by default (one host sync per forward)
     impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     interpret: bool = False
     kernel_tile: int = 128
@@ -179,9 +192,12 @@ class EGNNDynamics(nn.Module):
                     padf = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
                     h, x, mask, is_lig = map(padf, (h, x, mask, is_lig))
                 adj = None
-                # shared (B, N, N) input-coordinate squared distances: one
-                # XLA computation feeds the SMEM-prefetched block-activity
-                # bits of every fused kernel this forward (12 at 6 layers)
+                # shared (B, N, N) input-coordinate squared distances feed
+                # the SMEM-prefetched block-activity bits of every fused
+                # kernel this forward; the per-wrapper bit-pack reduction is
+                # CSE'd by XLA for same-mask launches (only the three
+                # shared-pocket col_mask variants derive distinct bits),
+                # measured inside the 2.9 ms/step fixed overhead at B=32
                 diff0 = x[:, :, None, :] - x[:, None, :, :]
                 d2_0_full = jnp.sum(diff0 * diff0, axis=-1)
                 fused_ctx = dict(mask=mask, is_lig=is_lig, d2_0=d2_0_full,
@@ -211,10 +227,7 @@ class EGNNDynamics(nn.Module):
                 fused_ctx = None
                 adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)
                 if type_table is not None:
-                    both_lig = is_lig[:, :, None] * is_lig[:, None, :]
-                    both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
-                    edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
-                    edge_attr = type_table[edge_type]
+                    edge_attr = _type_edge_attr(is_lig, type_table)
 
             update_coords_mask = None if self.update_pocket_coords else is_lig
             h_final, x_final = EGNN(
@@ -242,10 +255,7 @@ class EGNNDynamics(nn.Module):
         elif self.mode == "gnn_dynamics":
             adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)
             if type_table is not None:
-                both_lig = is_lig[:, :, None] * is_lig[:, None, :]
-                both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
-                edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
-                edge_attr = type_table[edge_type]
+                edge_attr = _type_edge_attr(is_lig, type_table)
             xh = jnp.concatenate([x, h], axis=-1)
             out = GNN(hidden_nf=self.hidden_nf,
                       out_node_nf=nd + self.joint_nf + int(self.condition_time),
@@ -269,12 +279,19 @@ class EGNNDynamics(nn.Module):
 
         if self.zero_nan:
             vel = jnp.nan_to_num(vel)
+        elif self.nan_check:
+            # reference eval semantics: abort on NaN velocities rather than
+            # silently carrying them through the chain
+            def _raise_on_nan(ok):
+                if not bool(ok):
+                    raise ValueError("NaN detected in EGNN output")
+            jax.debug.callback(_raise_on_nan, jnp.all(jnp.isfinite(vel)))
 
         if self.update_pocket_coords:
             # joint mode removes the CoM of the velocity field (dynamics.py:161-164)
-            count = jnp.maximum(jnp.sum(mask, axis=1), 1e-12)
-            mean = jnp.sum(vel * mask[..., None], axis=1) / count[..., None]
-            vel = (vel - mean[:, None, :]) * mask[..., None]
+            from diffsbdd_tpu.models.egnn import masked_graph_mean
+            vel = (vel - masked_graph_mean(vel, mask)[:, None, :]) \
+                * mask[..., None]
 
         eps_lig = jnp.concatenate([vel[:, :NL], h_final_lig * mask_lig[..., None]], axis=-1)
         eps_pkt = jnp.concatenate([vel[:, NL:], h_final_pkt * mask_pkt[..., None]], axis=-1)

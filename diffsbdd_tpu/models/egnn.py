@@ -290,6 +290,10 @@ class _CoordMLP(nn.Module):
     edges_in_d: int
     node_nf: int
     compute_dtype: Any = jnp.float32
+    # the reference shares ONE nn.Linear(hidden, 1) instance as the final
+    # head of BOTH coord_mlp and cross_product_mlp (egnn_new.py:78-93);
+    # tie_head=True omits the head here so the owner can pass the shared one
+    tie_head: bool = False
 
     def setup(self):
         self.lin0_kernel = self.param(
@@ -298,18 +302,23 @@ class _CoordMLP(nn.Module):
         self.lin0_bias = self.param(
             "lin0_bias", nn.initializers.zeros, (self.hidden_nf,))
         self.lin1 = DenseParams(self.hidden_nf, self.hidden_nf, name="lin1")
-        self.lin2 = DenseParams(self.hidden_nf, 1, use_bias=False,
-                                name="lin2",
-                                kernel_init=_gain_xavier_uniform(1e-3))
+        if not self.tie_head:
+            self.lin2 = DenseParams(self.hidden_nf, 1, use_bias=False,
+                                    name="lin2",
+                                    kernel_init=_gain_xavier_uniform(1e-3))
 
-    def weights(self):
+    def weights(self, shared_head=None):
         k1, b1 = self.lin1()
-        k2, _ = self.lin2()
+        if self.tie_head:
+            assert shared_head is not None, "tied head requires shared_head"
+            k2 = shared_head
+        else:
+            k2, _ = self.lin2()
         return self.lin0_kernel, self.lin0_bias, k1, b1, k2
 
-    def __call__(self, h, edge_feat):
+    def __call__(self, h, edge_feat, shared_head=None):
         cd = self.compute_dtype
-        _, _, k1, b1, k2 = self.weights()
+        _, _, k1, b1, k2 = self.weights(shared_head)
         z = jax.nn.silu(_split_pair_dense(
             self.lin0_kernel.astype(cd), self.lin0_bias.astype(cd),
             h.astype(cd), edge_feat.astype(cd), h.shape[-1]))
@@ -338,9 +347,11 @@ class DenseEquivariantUpdate(nn.Module):
                                    compute_dtype=self.compute_dtype,
                                    name="coord_mlp")
         if not self.reflection_equiv:
+            # final (hidden, 1) head is TIED to coord_mlp's (same nn.Linear
+            # instance in the reference, egnn_new.py:78-93)
             self.cross_product_mlp = _CoordMLP(
                 self.hidden_nf, self.edges_in_d, self.node_nf,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, tie_head=True,
                 name="cross_product_mlp")
 
     def __call__(self, h, coord, coord_diff, coord_cross, edge_feat, adj,
@@ -360,7 +371,9 @@ class DenseEquivariantUpdate(nn.Module):
             trans = coord_diff * phi
 
         if not self.reflection_equiv:
-            phi_cross = self.cross_product_mlp(h, edge_feat)
+            shared_k2, _ = self.coord_mlp.lin2()
+            phi_cross = self.cross_product_mlp(h, edge_feat,
+                                               shared_head=shared_k2)
             if self.tanh:
                 phi_cross = jnp.tanh(phi_cross) * self.coords_range
             trans = trans + coord_cross * phi_cross
@@ -386,7 +399,8 @@ class DenseEquivariantUpdate(nn.Module):
         cross = None
         graph_mean = None
         if not self.reflection_equiv:
-            ck0, cb0, ck1, cb1, ck2 = self.cross_product_mlp.weights()
+            ck0, cb0, ck1, cb1, ck2 = self.cross_product_mlp.weights(
+                shared_head=lk2)
             c_row, c_col, cw_d2, cw_d20, cw_types = _split_first_layer(
                 ck0, cb0, h)
             cross = dict(

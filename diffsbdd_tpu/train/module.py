@@ -62,6 +62,7 @@ class LigandPocketDDPM:
         matmul_precision: str = "float32",
         augment_noise: float = 0.0,
         augment_rotation: bool = False,
+        nan_check: bool = False,
     ):
         assert mode in DDPM_MODELS
         assert pocket_representation in {"CA", "full-atom"}
@@ -131,6 +132,7 @@ class LigandPocketDDPM:
             compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
             else jnp.float32,
             matmul_precision=matmul_precision,
+            nan_check=nan_check,
         )
 
         self.ddpm = DDPM_MODELS[mode](
@@ -472,4 +474,5 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
         augment_noise=cfg.get("augment_noise", 0.0),
         augment_rotation=cfg.get("augment_rotation", False),
+        nan_check=cfg.tpu.get("nan_check", False),
     )

@@ -75,6 +75,29 @@ def test_rotation_translation_equivariance(egnn_setup):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(expected), atol=1e-4)
 
 
+def test_cross_product_head_is_tied():
+    """The reference shares ONE nn.Linear(hidden, 1) as the final head of
+    both coord_mlp and cross_product_mlp (egnn_new.py:78-93); the flax tree
+    must hold a single parameter so training keeps them tied."""
+    h, x, adj, mask = make_graph(jax.random.PRNGKey(3))
+    m = EGNN(hidden_nf=16, out_node_nf=6, n_layers=1, inv_sublayers=1,
+             reflection_equiv=False)
+    p = m.init(jax.random.PRNGKey(5), h, x, adj, mask)
+    equiv = p["params"]["e_block_0"]["gcl_equiv"]
+    assert "lin2" in equiv["coord_mlp"]
+    assert "lin2" not in equiv["cross_product_mlp"]
+
+    # gradients from BOTH the coord and cross paths flow into the one head
+    def loss(params):
+        _, xo = m.apply(params, h, x, adj, mask)
+        return jnp.sum(xo ** 2)
+
+    g = jax.grad(loss)(p)
+    gn = float(jnp.linalg.norm(
+        g["params"]["e_block_0"]["gcl_equiv"]["coord_mlp"]["lin2"]["kernel"]))
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_reflection_equivariance_and_breaking():
     h, x, adj, mask = make_graph(jax.random.PRNGKey(3))
     P = jnp.diag(jnp.array([-1.0, 1.0, 1.0]))  # reflection

@@ -43,19 +43,45 @@ ATOMIC_MASS = {
 # graph basics: implicit hydrogens, rings, aromaticity
 # --------------------------------------------------------------------------
 
+# Default valence lists (RDKit's charge-neutral model).  Distinct from
+# ALLOWED_BONDS, which records the MAXIMUM bond count used for validity
+# checks: e.g. ALLOWED_BONDS['S'] = 4, but a divalent sulfide must get the
+# typical valence 2 (no phantom S-H hydrogens).
+_DEFAULT_VALENCES = {
+    "H": (1,), "B": (3,), "C": (4,), "N": (3,), "O": (2,), "F": (1,),
+    "Al": (3,), "Si": (4,), "P": (3, 5), "S": (2, 4, 6), "Cl": (1,),
+    "As": (3, 5), "Br": (1,), "I": (1,), "Hg": (1, 2), "Bi": (3, 5),
+}
+
+
 def implicit_hydrogens(mol) -> List[int]:
-    """Implicit H per heavy atom: smallest allowed valence that accommodates
+    """Implicit H per heavy atom: smallest default valence that accommodates
     the explicit bond-order sum, minus that sum (charge-neutral model)."""
-    order_sum = [0] * mol.n_atoms
+    order_sum = [0.0] * mol.n_atoms
+    n_arom = [0] * mol.n_atoms
+    n_bonds = [0] * mol.n_atoms
     for i, j, o in mol.bonds:
-        o = 1.5 if o == 4 else o  # aromatic marker
+        if o == 4:  # aromatic marker
+            n_arom[i] += 1
+            n_arom[j] += 1
+            o = 1.5
         order_sum[i] += o
         order_sum[j] += o
+        n_bonds[i] += 1
+        n_bonds[j] += 1
     out = []
     for idx, s in enumerate(mol.symbols):
-        allowed = ALLOWED_BONDS.get(s, 0)
-        if isinstance(allowed, int):
-            allowed = [allowed]
+        if s in ("O", "S") and n_bonds[idx] == 2 and n_arom[idx] == 2:
+            # furan/thiophene-type heteroatom: the lone pair is the ring's
+            # pi donation, valence 2 is satisfied — no phantom hydrogens
+            # (2 x 1.5 would otherwise round up to 3)
+            out.append(0)
+            continue
+        allowed = _DEFAULT_VALENCES.get(s)
+        if allowed is None:
+            allowed = ALLOWED_BONDS.get(s, 0)
+            if isinstance(allowed, int):
+                allowed = [allowed]
         total = int(math.ceil(order_sum[idx]))
         h = 0
         for v in sorted(allowed):
@@ -103,6 +129,15 @@ def aromatic_rings(mol, ring_list=None) -> List[List[int]]:
         if any(mol.symbols[a] not in ("C", "N", "O", "S") for a in ring):
             continue
         rset = set(ring)
+        # rings whose internal bonds all carry the explicit aromatic marker
+        # (order 4, e.g. V2000 input or OpenBabel perception) are aromatic by
+        # declaration — the Hückel count below would see pi=len(ring) and
+        # wrongly reject 5-rings like thiophene/pyrrole
+        ring_edges = {frozenset((a, b)) for a in ring
+                      for b, _ in nbrs[a] if b in rset}
+        if ring_edges and all(bond_order[e] == 4 for e in ring_edges):
+            out.append(ring)
+            continue
         pi = 0
         ok = True
         for a in ring:
@@ -161,10 +196,11 @@ def molecular_weight(mol) -> float:
         + h * ATOMIC_MASS["H"]
 
 
-def h_bond_acceptors(mol) -> int:
+def h_bond_acceptors(mol, arom=None) -> int:
     """N and O atoms, excluding amide/pyrrole-type N (Lipinski-style)."""
     nbrs = _neighbors(mol)
-    arom = {a for ring in aromatic_rings(mol) for a in ring}
+    if arom is None:
+        arom = {a for ring in aromatic_rings(mol) for a in ring}
     count = 0
     for idx, s in enumerate(mol.symbols):
         if s == "O":
@@ -191,11 +227,12 @@ def h_bond_donors(mol) -> int:
                if s in ("N", "O") and hs[idx] > 0)
 
 
-def tpsa(mol) -> float:
+def tpsa(mol, arom=None) -> float:
     """Ertl topological polar surface area from N/O/S/P contributions."""
     hs = implicit_hydrogens(mol)
     nbrs = _neighbors(mol)
-    arom = {a for ring in aromatic_rings(mol) for a in ring}
+    if arom is None:
+        arom = {a for ring in aromatic_rings(mol) for a in ring}
     total = 0.0
     for idx, s in enumerate(mol.symbols):
         orders = sorted(o for _, o in nbrs[idx])
@@ -225,7 +262,7 @@ def tpsa(mol) -> float:
                 total += 9.23
         elif s == "S":
             if n_nbrs <= 2 and h == 0 and 2 not in orders:
-                total += 25.30 if idx in arom else 25.30
+                total += 28.24 if idx in arom else 25.30  # Ertl aromatic S
             elif h > 0:
                 total += 38.80
             elif 2 in orders:
@@ -246,8 +283,9 @@ _LOGP_CONTRIB = {
 }
 
 
-def logp_estimate(mol) -> float:
-    arom = {a for ring in aromatic_rings(mol) for a in ring}
+def logp_estimate(mol, arom=None) -> float:
+    if arom is None:
+        arom = {a for ring in aromatic_rings(mol) for a in ring}
     hs = implicit_hydrogens(mol)
     total = 0.0
     for idx, s in enumerate(mol.symbols):
@@ -261,12 +299,13 @@ def logp_estimate(mol) -> float:
     return total
 
 
-def structural_alerts(mol) -> int:
+def structural_alerts(mol, ring_list=None) -> int:
     """Tiny subset of the Brenk alert patterns recognizable on the graph:
     long aliphatic chains, acyclic N-N / N=N / S-S, aldehydes, >2 halogens
     on one atom's neighborhood."""
     nbrs = _neighbors(mol)
-    ring_atoms = {a for ring in rings(mol) for a in ring}
+    ring_atoms = {a for ring in (ring_list if ring_list is not None
+                                 else rings(mol)) for a in ring}
     alerts = 0
     # heteroatom-heteroatom single bonds outside rings (N-N, S-S, N-O...)
     for i, j, o in mol.bonds:
@@ -341,16 +380,21 @@ def _ads(x: float, p) -> float:
 
 
 def qed_properties(mol) -> Dict[str, float]:
+    # the cycle basis (networkx minimum_cycle_basis) is by far the most
+    # expensive pure-python step — compute it and the aromatic set once and
+    # thread them through every descriptor
     ring_list = rings(mol)
+    arom_rings = aromatic_rings(mol, ring_list)
+    arom = {a for ring in arom_rings for a in ring}
     return {
         "MW": molecular_weight(mol),
-        "ALOGP": logp_estimate(mol),
-        "HBA": float(h_bond_acceptors(mol)),
+        "ALOGP": logp_estimate(mol, arom),
+        "HBA": float(h_bond_acceptors(mol, arom)),
         "HBD": float(h_bond_donors(mol)),
-        "PSA": tpsa(mol),
+        "PSA": tpsa(mol, arom),
         "ROTB": float(rotatable_bonds(mol, ring_list)),
-        "AROM": float(len(aromatic_rings(mol, ring_list))),
-        "ALERTS": float(structural_alerts(mol)),
+        "AROM": float(len(arom_rings)),
+        "ALERTS": float(structural_alerts(mol, ring_list)),
     }
 
 

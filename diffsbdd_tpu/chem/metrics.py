@@ -18,13 +18,6 @@ import numpy as np
 
 from diffsbdd_tpu.chem.molecule import HAVE_RDKIT, SimpleMol
 
-ATOMIC_MASS = {
-    "H": 1.008, "B": 10.81, "C": 12.011, "N": 14.007, "O": 15.999,
-    "F": 18.998, "Al": 26.98, "Si": 28.085, "P": 30.974, "S": 32.06,
-    "Cl": 35.45, "As": 74.92, "Br": 79.904, "I": 126.9, "Hg": 200.59,
-    "Bi": 208.98,
-}
-
 
 class CategoricalDistribution:
     """KL divergence of an empirical type histogram from the dataset prior

@@ -159,6 +159,13 @@ class SimpleMol:
                       3: _rdchem.BondType.TRIPLE, 4: _rdchem.BondType.AROMATIC}
         for i, j, o in self.bonds:
             mol.AddBond(int(i), int(j), bond_types[int(o)])
+            if int(o) == 4:
+                # aromatic bonds on non-aromatic-flagged atoms fail RDKit
+                # kekulization during sanitize ("Can't kekulize mol"); set
+                # the flags like MolFromMolBlock's V2000 reader does
+                mol.GetBondBetweenAtoms(int(i), int(j)).SetIsAromatic(True)
+                mol.GetAtomWithIdx(int(i)).SetIsAromatic(True)
+                mol.GetAtomWithIdx(int(j)).SetIsAromatic(True)
         conf = _rdchem.Conformer(mol.GetNumAtoms())
         for i in range(mol.GetNumAtoms()):
             conf.SetAtomPosition(i, tuple(float(v) for v in self.coords[i]))
@@ -310,8 +317,10 @@ def process_molecule(mol: Optional[SimpleMol], add_hydrogens=False,
         if not HAVE_RDKIT:
             warnings.warn("add_hydrogens requires RDKit; skipping")
         else:  # pragma: no cover - optional bridge
+            # continue to the largest_frag / relax stages below, as the
+            # reference does after AddHs (molecule_builder.py:188-214)
             rd = _rdchem.AddHs(out.to_rdkit(), addCoords=True)
-            return from_rdkit(rd)
+            out = from_rdkit(rd)
 
     if largest_frag:
         out = out.largest_fragment()

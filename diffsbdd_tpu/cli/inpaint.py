@@ -103,17 +103,30 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
     com_before = (np.asarray(pocket["x"]) * pkt_m[..., None]).sum(1) \
         / pkt_m.sum(1)[..., None]
 
+    from diffsbdd_tpu.diffusion.ddpm import JointDDPM
+    joint = isinstance(module.ddpm, JointDDPM)
     if save_traj:
+        if joint:
+            raise NotImplementedError(
+                "--save_traj is only supported for conditional checkpoints "
+                "(the joint RePaint sampler does not collect frames)")
         xh_lig, xh_pocket = module.ddpm.inpaint(
             params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
             center=center, resamplings=resamplings, timesteps=timesteps,
             return_frames=frames)
+    elif joint:
+        # joint checkpoints inpaint with every pocket node clamped
+        # (lightning_modules.py:814-834 semantics); no `center` option —
+        # the joint sampler works in its own CoM-free frame
+        xh_lig, xh_pocket = module.ddpm.inpaint_segmented(
+            params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
+            pocket_fixed=pocket["mask"], resamplings=resamplings,
+            timesteps=timesteps, segment=50)
     else:
         # segmented dispatch: identical trajectory, bounded per-dispatch
         # execution (T x resamplings iterations would otherwise run as one
         # monolithic device program)
         # shared_pocket: one pocket replicated across the samples
-        # (ignored by the joint model, which diffuses the pocket)
         xh_lig, xh_pocket = module.ddpm.inpaint_segmented(
             params, rng, ligand_batch, pocket, jnp.asarray(lig_fixed),
             center=center, resamplings=resamplings, timesteps=timesteps,
@@ -153,7 +166,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("checkpoint", type=Path)
     p.add_argument("--pdbfile", type=str, required=True)
-    p.add_argument("--ref_ligand", type=str, default=None)
+    p.add_argument("--ref_ligand", type=str, required=True)
     p.add_argument("--fix_atoms", type=str, nargs="+", required=True)
     p.add_argument("--center", type=str, default="ligand",
                    choices={"ligand", "pocket"})

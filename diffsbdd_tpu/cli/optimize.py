@@ -135,11 +135,20 @@ def main(argv=None):
             population = molecules * args.population_size
         else:
             prev = buffer[buffer["generation"] == generation]
+            if prev.empty:
+                # a generation in which every molecule failed sanitization:
+                # reseed from the best survivors of ALL prior generations
+                # instead of crashing the run
+                print(f"generation {generation} produced no valid "
+                      f"molecules; reseeding from the global buffer")
+                prev = buffer
             top_k = prev.nlargest(args.top_k, "score")["mol"].tolist()
-            population = top_k * (args.population_size // args.top_k)
             buffer.loc[buffer["generation"] == generation, "fate"] = "survived"
+            # replicate survivors; remainder drawn at random from the
+            # (never-empty) survivor list, as in the reference
+            population = top_k * (args.population_size // len(top_k))
             while len(population) < args.population_size:
-                population.append(random.choice(population))
+                population.append(random.choice(top_k))
         population = population[:args.population_size]
 
         scores = [objective(m) for m in population]

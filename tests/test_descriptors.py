@@ -62,6 +62,35 @@ def test_aromatic_ring_detection():
     assert len(D.aromatic_rings(pyr)) == 1
 
 
+def test_sulfur_valence_and_aromatic_marker_rings():
+    """Regressions: divalent S must not get phantom hydrogens
+    (ALLOWED_BONDS['S']=4 is a max, not the typical valence), and 5-rings
+    whose bonds carry the explicit aromatic marker (order 4) must be
+    classified aromatic."""
+    thiophene = mol("SCCCC", [(0, 1, 1), (1, 2, 2), (2, 3, 1),
+                              (3, 4, 2), (4, 0, 1)])
+    assert D.implicit_hydrogens(thiophene) == [0, 1, 1, 1, 1]
+    assert abs(D.molecular_weight(thiophene) - 84.14) < 0.05
+    assert len(D.aromatic_rings(thiophene)) == 1
+    assert abs(D.tpsa(thiophene) - 28.24) < 0.01  # Ertl aromatic S
+
+    dms = mol("CSC", [(0, 1, 1), (1, 2, 1)])  # dimethyl sulfide
+    assert D.implicit_hydrogens(dms) == [3, 0, 3]
+    assert abs(D.molecular_weight(dms) - 62.13) < 0.05
+
+    sulfone = mol("CSCOO", [(0, 1, 1), (1, 2, 1), (1, 3, 2), (1, 4, 2)])
+    assert D.implicit_hydrogens(sulfone)[1] == 0  # hexavalent S, no H
+
+    # aromatic-marker encodings (V2000 order 4 / OpenBabel perception)
+    thio4 = mol("SCCCC", [(0, 1, 4), (1, 2, 4), (2, 3, 4),
+                          (3, 4, 4), (4, 0, 4)])
+    assert len(D.aromatic_rings(thio4)) == 1
+    assert D.implicit_hydrogens(thio4) == [0, 1, 1, 1, 1]
+    pyrrole4 = mol("NCCCC", [(0, 1, 4), (1, 2, 4), (2, 3, 4),
+                             (3, 4, 4), (4, 0, 4)])
+    assert len(D.aromatic_rings(pyrrole4)) == 1
+
+
 def test_hb_counts():
     asa = aspirin()
     assert D.h_bond_donors(asa) == 1      # the carboxylic OH

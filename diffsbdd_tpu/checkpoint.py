@@ -35,8 +35,13 @@ def save_model(ckpt_dir, module: LigandPocketDDPM, state: TrainState,
 
 
 def load_model(ckpt_dir, name: str = "best",
-               lr: float = 1e-3) -> Tuple[LigandPocketDDPM, TrainState, Config]:
-    """Rebuild (module, state, config) from a checkpoint directory."""
+               lr: Optional[float] = None
+               ) -> Tuple[LigandPocketDDPM, TrainState, Config]:
+    """Rebuild (module, state, config) from a checkpoint directory.
+
+    ``lr``: optimizer learning rate for the rebuilt train state; defaults to
+    the TRAINED run's cfg.lr so continued training steps at the recorded
+    rate, not a hardcoded default."""
     ckpt_dir = Path(ckpt_dir)
     cfg_file = ckpt_dir / f"{name}.config.json"
     if not cfg_file.exists():
@@ -53,6 +58,7 @@ def load_model(ckpt_dir, name: str = "best",
     module = build_module_from_config(cfg, histogram)
 
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
-    template = create_train_state(params, lr=lr)
+    template = create_train_state(
+        params, lr=float(cfg.lr) if lr is None else lr)
     state, _ = restore_checkpoint(ckpt_dir, template, name=name)
     return module, state, cfg

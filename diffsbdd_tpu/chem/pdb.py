@@ -80,12 +80,18 @@ def _element_from_record(line: str, atom_name: str) -> str:
     elem = line[76:78].strip() if len(line) >= 78 else ""
     if elem:
         return elem.capitalize()
-    # fall back to the atom-name heuristic
+    # fall back to the atom-name heuristic.  PDB column alignment
+    # disambiguates: two-letter elements start at column 13 ('CA  ' is
+    # calcium), one-letter elements at column 14 (' CA ' is an alpha
+    # carbon) — the check must use the UNSTRIPPED name field, as BioPython
+    # does, or every backbone CA becomes calcium
+    name_field = line[12:16]
     name = atom_name.strip()
     while name and name[0].isdigit():
         name = name[1:]
-    if len(name) >= 2 and name[:2].capitalize() in {
-            "Cl", "Br", "Fe", "Zn", "Mg", "Mn", "Na", "Ca", "Cu", "Se"}:
+    if (len(name) >= 2 and not name_field.startswith(" ")
+            and name[:2].capitalize() in {
+                "Cl", "Br", "Fe", "Zn", "Mg", "Mn", "Na", "Ca", "Cu", "Se"}):
         return name[:2].capitalize()
     return name[:1].upper()
 
@@ -132,14 +138,19 @@ def parse_pdb(path) -> Structure:
 
 def get_pocket_residues_from_coords(
         structure: Structure, ligand_coords: np.ndarray,
-        dist_cutoff: float = 8.0, skip_resseq: Optional[int] = None
+        dist_cutoff: float = 8.0, skip_residue: Optional[Residue] = None
 ) -> List[Residue]:
     """Standard amino-acid residues with any atom within ``dist_cutoff`` of
-    the ligand (utils.py:103-128 semantics)."""
+    the ligand (utils.py:103-128 semantics).
+
+    ``skip_residue`` excludes exactly THAT residue object (the reference
+    ligand itself, when it lives inside the PDB) — matching by residue
+    number alone would also drop same-numbered standard residues in other
+    chains."""
     pocket = []
     lig = np.asarray(ligand_coords, dtype=np.float32)
     for res in structure.get_residues():
-        if skip_resseq is not None and res.resseq == skip_resseq:
+        if res is skip_residue:
             continue
         if not res.is_standard_aa:
             continue
@@ -161,9 +172,9 @@ def get_pocket_from_ligand(structure: Structure, ref_ligand: str,
         from diffsbdd_tpu.chem.sdfio import read_sdf
         mol = read_sdf(ref_ligand)[0]
         return get_pocket_residues_from_coords(
-            structure, mol.coords, dist_cutoff, skip_resseq=None)
+            structure, mol.coords, dist_cutoff)
     chain, resi = str(ref_ligand).split(":")
     lig_res = structure.residue(chain, int(resi))
     lig_coords = np.array([a.coord for a in lig_res.atoms], dtype=np.float32)
     return get_pocket_residues_from_coords(
-        structure, lig_coords, dist_cutoff, skip_resseq=int(resi))
+        structure, lig_coords, dist_cutoff, skip_residue=lig_res)

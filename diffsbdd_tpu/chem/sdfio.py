@@ -58,8 +58,8 @@ def _mol_block(mol, name="") -> str:
         lines.append(
             f"{x:10.4f}{y:10.4f}{z:10.4f} {mol.symbols[i]:<3} 0  0  0  0  0  0  0  0  0  0  0  0")
     for (i, j, order) in mol.bonds:
-        o = 4 if order == 4 else int(order)
-        lines.append(f"{i + 1:3d}{j + 1:3d}{o:3d}  0")
+        # orders are V2000-coded ints already (4 = aromatic)
+        lines.append(f"{i + 1:3d}{j + 1:3d}{int(order):3d}  0")
     lines.append("M  END")
     return "\n".join(lines)
 

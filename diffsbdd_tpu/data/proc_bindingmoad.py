@@ -175,7 +175,9 @@ def process_ligand_and_pocket(struct: pdbmod.Structure, ligand_name: str,
         for res in pocket_residues:
             ca = res.get_atom("CA")
             if ca is None:
-                continue
+                # reference indexes res['CA'] directly: a CA-less residue
+                # excludes the whole complex (process_bindingmoad.py:225)
+                raise KeyError(f"no CA in {res.chain_id}:{res.resseq}")
             coords.append(ca.coord)
             one_hot.append(np.eye(1, len(amino_acid_dict),
                                   amino_acid_dict[res.one_letter()]).squeeze())
@@ -189,7 +191,10 @@ def process_ligand_and_pocket(struct: pdbmod.Structure, ligand_name: str,
                 if el == "H":
                     continue
                 if el not in atom_dict:
-                    continue
+                    # reference keeps unknown heavy atoms so the one-hot
+                    # lookup raises and the complex is excluded
+                    # (process_bindingmoad.py:249-260)
+                    raise KeyError(f"pocket atom {el} not in atom dict")
                 coords.append(a.coord)
                 one_hot.append(np.eye(1, len(atom_dict),
                                       atom_dict[el]).squeeze())
@@ -211,37 +216,49 @@ def process_split(examples, pdbdir, atom_dict, amino_acid_dict, dist_cutoff,
     pdbdir = Path(pdbdir)
 
     for p, ligands in ligand_list_to_dict(examples).items():
-        # biounit files are named <pdb>.bio<N>; try the first unit, then .pdb
-        candidates = sorted(pdbdir.glob(f"{p.lower()}.bio*")) + \
-            [pdbdir / f"{p.lower()}.pdb"]
-        pdbfile = next((c for c in candidates if c.exists()), None)
-        if pdbfile is None:
+        # biounit files are named <pdb>.bio<N>; a ligand may live in ANY
+        # biounit, so each file is tried in turn for the still-unprocessed
+        # ligands (reference process_bindingmoad.py:493-535)
+        candidates = [c for c in
+                      sorted(pdbdir.glob(f"{p.lower()}.bio*"))
+                      + [pdbdir / f"{p.lower()}.pdb"] if c.exists()]
+        if not candidates:
             failed.append(("FileNotFound", p))
             continue
-        try:
-            struct = pdbmod.parse_pdb(pdbfile)
-        except Exception:
-            failed.append(("ParseError", p))
-            continue
-        for m in ligands:
-            ligand_name, ligand_chain, ligand_resi = m[0].split(":")
+        remaining = list(ligands)
+        errors = {}
+        for pdbfile in candidates:
+            if not remaining:
+                break
             try:
-                ligand_data, pocket_data = process_ligand_and_pocket(
-                    struct, ligand_name, ligand_chain, int(ligand_resi),
-                    atom_dict, amino_acid_dict, dist_cutoff, ca_only)
-            except (KeyError, ValueError, IndexError) as e:
-                failed.append((str(e), p, m[0]))
+                struct = pdbmod.parse_pdb(pdbfile)
+            except Exception:
+                errors.setdefault("__parse__", []).append(pdbfile.name)
                 continue
-            names.append(f"{p}_{m[0]}")
-            acc["lig_coords"].append(ligand_data["lig_coords"])
-            acc["lig_one_hot"].append(ligand_data["lig_one_hot"])
-            acc["lig_mask"].append(
-                count * np.ones(len(ligand_data["lig_coords"])))
-            acc["pocket_coords"].append(pocket_data["pocket_coords"])
-            acc["pocket_one_hot"].append(pocket_data["pocket_one_hot"])
-            acc["pocket_mask"].append(
-                count * np.ones(len(pocket_data["pocket_coords"])))
-            count += 1
+            still = []
+            for m in remaining:
+                ligand_name, ligand_chain, ligand_resi = m[0].split(":")
+                try:
+                    ligand_data, pocket_data = process_ligand_and_pocket(
+                        struct, ligand_name, ligand_chain, int(ligand_resi),
+                        atom_dict, amino_acid_dict, dist_cutoff, ca_only)
+                except (KeyError, ValueError, IndexError) as e:
+                    errors[m[0]] = str(e)
+                    still.append(m)
+                    continue
+                names.append(f"{p}_{m[0]}")
+                acc["lig_coords"].append(ligand_data["lig_coords"])
+                acc["lig_one_hot"].append(ligand_data["lig_one_hot"])
+                acc["lig_mask"].append(
+                    count * np.ones(len(ligand_data["lig_coords"])))
+                acc["pocket_coords"].append(pocket_data["pocket_coords"])
+                acc["pocket_one_hot"].append(pocket_data["pocket_one_hot"])
+                acc["pocket_mask"].append(
+                    count * np.ones(len(pocket_data["pocket_coords"])))
+                count += 1
+            remaining = still
+        for m in remaining:
+            failed.append((errors.get(m[0], "NotFound"), p, m[0]))
 
     flat = {k: np.concatenate(v) if v else np.zeros((0,))
             for k, v in acc.items()}
@@ -301,11 +318,15 @@ def main(argv=None):
                             train_flat["lig_one_hot"],
                             train_flat["lig_mask"], dinfo)
     np.save(processed_dir / "train_smiles.npy", smiles)
+    # full-atom pockets are atom-typed, so their histogram must be decoded
+    # with the ATOM decoder (the aa decoder only applies to CA-only mode)
+    pocket_decoder = dinfo["aa_decoder"] if args.ca_only \
+        else dinfo["atom_decoder"]
     atom_hist, aa_hist = type_histograms(
         train_flat["lig_one_hot"], train_flat["pocket_one_hot"],
-        dinfo["atom_decoder"], dinfo["aa_decoder"])
+        dinfo["atom_decoder"], pocket_decoder)
     print("atom histogram:", atom_hist)
-    print("aa histogram:", aa_hist)
+    print("pocket histogram:", aa_hist)
 
 
 if __name__ == "__main__":

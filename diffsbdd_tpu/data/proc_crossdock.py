@@ -68,7 +68,9 @@ def process_ligand_and_pocket(pdbfile, sdffile, atom_dict, amino_acid_dict,
         for res in pocket_residues:
             ca = res.get_atom("CA")
             if ca is None:
-                continue
+                # reference indexes res['CA'] directly, so a CA-less
+                # residue excludes the whole complex, not just the residue
+                raise KeyError(f"no CA in {res.chain_id}:{res.resseq}")
             one_hot.append(np.eye(1, len(amino_acid_dict),
                                   amino_acid_dict[res.one_letter()]).squeeze())
             coords.append(ca.coord)
@@ -265,10 +267,11 @@ def main(argv=None):
                             train_flat["lig_one_hot"],
                             train_flat["lig_mask"], dinfo)
     np.save(processed_dir / "train_smiles.npy", smiles)
+    # full-atom pockets are atom-typed: decode with the atom decoder
     atom_hist, aa_hist = type_histograms(
         train_flat["lig_one_hot"], train_flat["pocket_one_hot"],
         dinfo["atom_decoder"],
-        dinfo["aa_decoder"])
+        dinfo["aa_decoder"] if args.ca_only else dinfo["atom_decoder"])
     print("atom histogram:", atom_hist)
     print("aa histogram:", aa_hist)
 

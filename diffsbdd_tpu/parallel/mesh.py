@@ -67,10 +67,11 @@ def maybe_initialize_distributed(cfg=None) -> int:
     want = (os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS")
             or (cfg is not None and getattr(cfg.tpu, "multihost", False)))
-    if want and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # single-host fallback stays usable
-            print(f"jax.distributed.initialize failed ({e}); "
-                  "continuing single-process")
+    # IMPORTANT: do not touch any backend-initializing jax API (e.g.
+    # jax.process_count()) before initialize() — it must run first, or it
+    # raises and the pod would silently train as disconnected single-process
+    # replicas.  Skip only if distributed state is already up.
+    from jax._src.distributed import global_state
+    if want and global_state.client is None:
+        jax.distributed.initialize()
     return jax.process_count()

@@ -41,17 +41,33 @@ def calculate_smina_score(pdb_file, sdf_file) -> List[float]:
 
 
 def smina_score(mols, receptor_file: Union[str, List[str]]) -> List[float]:
-    """Score molecules against one receptor (or one receptor per molecule)."""
+    """Score molecules against one receptor (or one receptor per molecule).
+
+    Always returns exactly ``len(mols)`` entries (nan for failures), so
+    per-molecule receptor pairing cannot drift when a score is missing."""
     if isinstance(receptor_file, list):
+        if len(receptor_file) != len(mols):
+            raise ValueError(
+                f"{len(mols)} molecules but {len(receptor_file)} receptors "
+                f"— per-molecule scoring needs a 1:1 pairing")
         scores = []
         for mol, rec in zip(mols, receptor_file):
             with tempfile.NamedTemporaryFile(suffix=".sdf") as tmp:
                 write_sdf_file(tmp.name, [mol])
-                scores.extend(calculate_smina_score(rec, tmp.name))
+                res = calculate_smina_score(rec, tmp.name)
+                scores.append(res[0] if res else float("nan"))
         return scores
     with tempfile.NamedTemporaryFile(suffix=".sdf") as tmp:
         write_sdf_file(tmp.name, mols)
-        return calculate_smina_score(receptor_file, tmp.name)
+        scores = calculate_smina_score(receptor_file, tmp.name)
+    if len(scores) != len(mols):
+        # a parse failure mid-file leaves alignment unknown — report nan for
+        # everything rather than silently mispairing
+        import warnings
+        warnings.warn(f"smina returned {len(scores)} affinities for "
+                      f"{len(mols)} molecules; discarding ambiguous scores")
+        return [float("nan")] * len(mols)
+    return scores
 
 
 def sdf_to_pdbqt(sdf_file, pdbqt_outfile, mol_id: int):
@@ -74,20 +90,34 @@ def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
 
     if receptor_file.suffix == ".pdb":
         receptor_pdbqt = Path(out_dir, receptor_file.stem + ".pdbqt")
-        # MGLTools receptor prep (python 2.7 helper, reference docking.py:68)
-        subprocess.run(["prepare_receptor4.py", "-r", str(receptor_file),
-                        "-O", str(receptor_pdbqt)], capture_output=True)
+        if not receptor_pdbqt.exists():
+            # MGLTools receptor prep (python 2.7 helper, docking.py:68)
+            _require("prepare_receptor4.py")
+            res = subprocess.run(
+                ["prepare_receptor4.py", "-r", str(receptor_file),
+                 "-O", str(receptor_pdbqt)], capture_output=True, text=True)
+            if res.returncode != 0 or not receptor_pdbqt.exists():
+                raise RuntimeError(
+                    f"prepare_receptor4.py failed for {receptor_file} "
+                    f"(rc={res.returncode}): {res.stderr[-500:]}")
     else:
         receptor_pdbqt = receptor_file
 
     scores = []
     out_mols = []
-    mols = read_sdf(sdf_file)
+    # keep_invalid: molecule index i must match obabel's positional -f/-l
+    # file indexing, so unparseable blocks stay as None placeholders
+    mols = read_sdf(sdf_file, keep_invalid=True)
     for i, mol in enumerate(mols):
         name = f"{sdf_file.stem}_{i}"
         ligand_pdbqt = Path(out_dir, name + ".pdbqt")
         out_sdf = Path(out_dir, name + "_out.sdf")
 
+        if mol is None:
+            scores.append(float("nan"))
+            if return_mols:
+                out_mols.append(None)
+            continue
         if out_sdf.exists():
             with open(out_sdf) as f:
                 scores.append(min(
@@ -111,6 +141,8 @@ def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
             sep = "-----+------------+----------+----------"
             if sep not in out:
                 scores.append(float("nan"))
+                if return_mols:
+                    out_mols.append(None)  # keep scores[i] <-> out_mols[i]
                 continue
             lines = out.splitlines()
             best = lines[lines.index(sep) + 1].split()
@@ -123,8 +155,10 @@ def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
                                capture_output=True)
                 out_pdbqt.unlink()
 
-        if return_mols and out_sdf.exists():
-            out_mols.extend(read_sdf(out_sdf)[:1])
+        if return_mols:
+            # one entry per input ligand (None when no docked pose exists)
+            docked = read_sdf(out_sdf) if out_sdf.exists() else []
+            out_mols.append(docked[0] if docked else None)
 
     return (scores, out_mols) if return_mols else scores
 

@@ -81,8 +81,13 @@ def write_sdf_file(sdf_path, molecules):
             f.write("\n$$$$\n")
 
 
-def read_sdf(path) -> List["SimpleMol"]:
-    """Parse every V2000 molblock in an SDF file into SimpleMol objects."""
+def read_sdf(path, keep_invalid: bool = False) -> List["SimpleMol"]:
+    """Parse every V2000 molblock in an SDF file into SimpleMol objects.
+
+    ``keep_invalid``: append ``None`` for molecule-shaped blocks that fail
+    to parse instead of silently skipping them — callers that index other
+    tools by molecule position in the FILE (e.g. obabel -f/-l in the
+    docking pipeline) need the indices to stay aligned."""
     from diffsbdd_tpu.chem.molecule import SimpleMol
 
     mols = []
@@ -105,20 +110,23 @@ def read_sdf(path) -> List["SimpleMol"]:
             counts = lines[counts_idx]
             n_atoms = int(counts[0:3])
             n_bonds = int(counts[3:6])
+            symbols, coords = [], []
+            for i in range(n_atoms):
+                ln = lines[counts_idx + 1 + i]
+                coords.append([float(ln[0:10]), float(ln[10:20]),
+                               float(ln[20:30])])
+                symbols.append(ln[31:34].strip())
+            bonds = []
+            for i in range(n_bonds):
+                ln = lines[counts_idx + 1 + n_atoms + i]
+                a = int(ln[0:3]) - 1
+                b = int(ln[3:6]) - 1
+                order = int(ln[6:9])
+                bonds.append((a, b, order))
         except (ValueError, IndexError):
+            if keep_invalid:
+                mols.append(None)
             continue
-        symbols, coords = [], []
-        for i in range(n_atoms):
-            ln = lines[counts_idx + 1 + i]
-            coords.append([float(ln[0:10]), float(ln[10:20]), float(ln[20:30])])
-            symbols.append(ln[31:34].strip())
-        bonds = []
-        for i in range(n_bonds):
-            ln = lines[counts_idx + 1 + n_atoms + i]
-            a = int(ln[0:3]) - 1
-            b = int(ln[3:6]) - 1
-            order = int(ln[6:9])
-            bonds.append((a, b, order))
         name = lines[0].strip() if counts_idx >= 3 else ""
         mols.append(SimpleMol(symbols=symbols,
                               coords=np.array(coords, dtype=np.float32),

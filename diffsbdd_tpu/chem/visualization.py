@@ -55,17 +55,22 @@ def plot_molecule(ax, positions, atom_types, dataset_info, alpha=1.0,
     areas = area_dic[atom_types]
     colors = colors_dic[atom_types]
 
+    # one vectorized bond-order pass over all upper-triangle pairs (the
+    # batch function exists for exactly this; calling it per pair made
+    # chain-GIF rendering O(n^2) subprocess-scale slow)
     n = len(positions)
-    for i in range(n):
-        for j in range(i + 1, n):
-            dist = float(np.linalg.norm(positions[i] - positions[j]))
-            order = int(get_bond_order_batch(
-                np.array([atom_types[i]]), np.array([atom_types[j]]),
-                np.array([dist]), dataset_info)[0])
+    ii, jj = np.triu_indices(n, k=1)
+    if len(ii):
+        dists = np.linalg.norm(positions[ii] - positions[jj], axis=1)
+        orders = get_bond_order_batch(
+            np.asarray(atom_types)[ii], np.asarray(atom_types)[jj],
+            dists, dataset_info)
+        for i, j, order in zip(ii, jj, orders):
             if order > 0:
                 ax.plot([x[i], x[j]], [y[i], y[j]], [z[i], z[j]],
-                        linewidth=(3 - 2) * 2 * 0.7 + order * 0.7,
-                        c=hex_bg_color == "#000000" and "#FFFFFF" or "#666666",
+                        linewidth=(3 - 2) * 2 * 0.7 + int(order) * 0.7,
+                        c=hex_bg_color == "#000000" and "#FFFFFF"
+                        or "#666666",
                         alpha=alpha)
     ax.scatter(x, y, z, s=areas, alpha=0.9 * alpha, c=colors)
 

@@ -42,7 +42,14 @@ def main(argv=None):
     molecules = []
     rng = jax.random.PRNGKey(args.seed)
     size_rng = np.random.default_rng(args.seed)
-    while len(molecules) < args.n_samples:
+    # bounded retry budget: sanitize/largest_frag can reject every molecule
+    # in a batch, and an unbounded sample-until-enough loop would burn
+    # accelerator time forever on a weak checkpoint; after the budget the
+    # CLI writes however many survived (like the reference's fixed loop)
+    max_batches = 3 * -(-args.n_samples // batch_size) + 3
+    for _ in range(max_batches):
+        if len(molecules) >= args.n_samples:
+            break
         rng, step_rng = jax.random.split(rng)
         n = min(batch_size, args.n_samples - len(molecules))
         num_nodes = None if args.num_nodes_lig is None else \
@@ -59,6 +66,10 @@ def main(argv=None):
             jump_length=args.jump_length,
             size_rng=size_rng))
 
+    if len(molecules) < args.n_samples:
+        print(f"warning: only {len(molecules)}/{args.n_samples} molecules "
+              f"survived filtering within the retry budget")
+    molecules = molecules[:args.n_samples]
     args.outfile.parent.mkdir(parents=True, exist_ok=True)
     write_sdf_file(args.outfile, molecules)
     print(f"wrote {len(molecules)} molecules to {args.outfile}")

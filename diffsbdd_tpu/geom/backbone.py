@@ -75,20 +75,40 @@ def quaternion_to_rotation_matrix(q):
 
 
 def rotation_matrix_to_quaternion(rot):
-    """(n, 3, 3) rotation matrices -> (n, 4) wxyz quaternions (w >= 0)."""
+    """(n, 3, 3) rotation matrices -> (n, 4) wxyz quaternions (w >= 0).
+
+    Shepperd's method: per matrix, build the quaternion from the largest of
+    {trace, m00, m11, m22}.  The naive copysign-on-antisymmetric-differences
+    shortcut loses the relative signs of (x, y, z) for 180-degree rotations
+    (w = 0 makes every difference zero), silently reflecting the axis."""
     rot = np.asarray(rot, np.float64)
-    t = rot[:, 0, 0] + rot[:, 1, 1] + rot[:, 2, 2]
-    w = 0.5 * np.sqrt(np.maximum(1 + t, 0.0))
-    x = 0.5 * np.sqrt(np.maximum(1 + rot[:, 0, 0] - rot[:, 1, 1]
-                                 - rot[:, 2, 2], 0.0))
-    y = 0.5 * np.sqrt(np.maximum(1 - rot[:, 0, 0] + rot[:, 1, 1]
-                                 - rot[:, 2, 2], 0.0))
-    z = 0.5 * np.sqrt(np.maximum(1 - rot[:, 0, 0] - rot[:, 1, 1]
-                                 + rot[:, 2, 2], 0.0))
-    x = np.copysign(x, rot[:, 2, 1] - rot[:, 1, 2])
-    y = np.copysign(y, rot[:, 0, 2] - rot[:, 2, 0])
-    z = np.copysign(z, rot[:, 1, 0] - rot[:, 0, 1])
-    return np.stack([w, x, y, z], axis=1)
+    m00, m01, m02 = rot[:, 0, 0], rot[:, 0, 1], rot[:, 0, 2]
+    m10, m11, m12 = rot[:, 1, 0], rot[:, 1, 1], rot[:, 1, 2]
+    m20, m21, m22 = rot[:, 2, 0], rot[:, 2, 1], rot[:, 2, 2]
+    t = m00 + m11 + m22
+
+    def safe(v):
+        return 2.0 * np.sqrt(np.maximum(v, 1e-12))
+
+    s0 = safe(1.0 + t)
+    q0 = np.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0,
+                   (m10 - m01) / s0], 1)
+    s1 = safe(1.0 + m00 - m11 - m22)
+    q1 = np.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1,
+                   (m02 + m20) / s1], 1)
+    s2 = safe(1.0 + m11 - m00 - m22)
+    q2 = np.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2,
+                   (m12 + m21) / s2], 1)
+    s3 = safe(1.0 + m22 - m00 - m11)
+    q3 = np.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3,
+                   0.25 * s3], 1)
+
+    choice = np.argmax(np.stack([t, m00, m11, m22], 1), axis=1)
+    q = np.choose(choice[:, None], [q0, q1, q2, q3])
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # canonical sign: w >= 0 (q and -q are the same rotation)
+    flip = np.where(q[:, :1] < 0, -1.0, 1.0)
+    return q * flip
 
 
 def rotation_matrix(angle, axis: int):

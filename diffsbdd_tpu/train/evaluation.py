@@ -116,7 +116,6 @@ class SamplingEvaluator:
             n = min(batch_size, n_samples - len(molecules))
             _, pocket, recs = self._val_pocket_batch(
                 list(range(i * batch_size, i * batch_size + n)))
-            receptors.extend(recs)
             if mod.virtual_nodes:
                 num_nodes = np.full(n, mod.max_num_nodes)
             else:
@@ -128,27 +127,31 @@ class SamplingEvaluator:
             rng, step = jax.random.split(rng)
             xh_lig, xh_pkt = mod.ddpm.sample_given_pocket(
                 params, step, pocket, lig_mask)
-            mols = self._to_molecules(xh_lig, lig_mask,
-                                      strip_virtual=mod.virtual_nodes)
+            mols, kept = self._to_molecules(xh_lig, lig_mask,
+                                            strip_virtual=mod.virtual_nodes,
+                                            return_kept=True)
             molecules.extend(mols)
+            # receptor list stays 1:1 with the molecules actually kept
+            receptors.extend(recs[k] for k in kept)
             for m in mols:
                 atom_types.extend(mod.lig_type_encoder[s] for s in m.symbols)
             aa_types.extend(
                 np.asarray(xh_pkt[..., 3:].argmax(-1))[
                     np.asarray(pocket["mask"]) > 0].tolist())
-        recs = [self._receptor_path(r) for r in receptors] \
+        recs = [self._receptor_path(r) for r in receptors[:n_samples]] \
             if self.datadir is not None else None
         return mod.analyze_samples(molecules[:n_samples], atom_types,
                                    aa_types, receptors=recs,
                                    dataset_smiles=self.dataset_smiles)
 
     # ------------------------------------------------------------- helpers
-    def _to_molecules(self, xh_lig, lig_mask, strip_virtual=False):
+    def _to_molecules(self, xh_lig, lig_mask, strip_virtual=False,
+                      return_kept=False):
         from diffsbdd_tpu.chem.molecule import build_molecule
         mod = self.module
         xh = np.asarray(xh_lig)
         m = np.asarray(lig_mask)
-        out = []
+        out, kept = [], []
         for b in range(xh.shape[0]):
             sel = m[b] > 0
             coords = xh[b, sel, :3]
@@ -160,7 +163,8 @@ class SamplingEvaluator:
                 continue
             out.append(build_molecule(coords, types, mod.dataset_info,
                                       add_coords=True))
-        return out
+            kept.append(b)
+        return (out, kept) if return_kept else out
 
     # --------------------------------------------------------- sample dumps
     def sample_and_save(self, params, rng, n_samples, epoch=0, size_rng=None):

@@ -438,12 +438,20 @@ class LigandPocketDDPM:
             "QED": qed, "SA": sa, "LogP": logp, "Lipinski": lipinski,
             "Diversity": diversity,
         }
-        if receptors is not None and connected \
+        if receptors is not None and molecules \
+                and len(receptors) == len(molecules) \
                 and all(Path(r).exists() for r in receptors):
+            # scored 1:1 on the molecule<->receptor pairing (the reference
+            # scores the connected-fragment subset against the FULL receptor
+            # list, silently mispairing as soon as one molecule drops out —
+            # a misalignment, not a semantic, we choose not to reproduce)
             try:
-                out["smina_score"] = float(
-                    np.mean(smina_score(connected, receptors)))
-            except (FileNotFoundError, OSError, RuntimeError) as e:
+                scores = smina_score(molecules, receptors)
+                finite = [s for s in scores if np.isfinite(s)]
+                if finite:
+                    out["smina_score"] = float(np.mean(finite))
+            except (FileNotFoundError, OSError, RuntimeError,
+                    ValueError) as e:
                 # smina missing or scoring failure: skip the metric, never
                 # sink the training eval
                 warnings.warn(f"smina scoring skipped: {e}")

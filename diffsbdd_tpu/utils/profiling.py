@@ -40,6 +40,8 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, result=None):
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() called before start()")
         if result is not None:
             jax.block_until_ready(result)
         dt = time.perf_counter() - self._t0
@@ -47,6 +49,8 @@ class StepTimer:
         return dt
 
     def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {"mean_s": 0.0, "std_s": 0.0, "min_s": 0.0, "n": 0}
         arr = np.asarray(self.times)
         return {"mean_s": float(arr.mean()), "std_s": float(arr.std()),
                 "min_s": float(arr.min()), "n": len(arr)}
@@ -64,6 +68,8 @@ class PocketTimer:
         self._t0 = time.time()
 
     def stop(self, pocket_name: str) -> float:
+        if self._t0 is None:
+            raise RuntimeError("PocketTimer.stop() called before start()")
         dt = time.time() - self._t0
         self.time_per_pocket[str(pocket_name)] = dt
         return dt

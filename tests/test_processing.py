@@ -44,6 +44,34 @@ def test_backbone_transform_roundtrip():
     np.testing.assert_allclose(coords2, coords, atol=1e-7)
 
 
+def test_quaternion_pi_rotations_exact():
+    """Regression: 180-degree rotations (w=0) zero every antisymmetric
+    matrix difference, so the old copysign shortcut lost the relative signs
+    of the axis components (pi about (1,-1,0) came back as pi about
+    (1,1,0))."""
+    axes = np.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1],
+                     [1, -1, 0], [1, 1, 0], [1, -1, 1], [-1, 2, 0.5]])
+    mats = []
+    for ax in axes:
+        ax = ax / np.linalg.norm(ax)
+        K = np.array([[0, -ax[2], ax[1]],
+                      [ax[2], 0, -ax[0]],
+                      [-ax[1], ax[0], 0]])
+        mats.append(np.eye(3) + 2.0 * (K @ K))  # R(pi) = I + 2K^2
+    mats = np.asarray(mats)
+    q = bb.rotation_matrix_to_quaternion(mats)
+
+    def to_rot(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+
+    for qi, mi in zip(q, mats):
+        np.testing.assert_allclose(to_rot(qi), mi, atol=1e-9)
+
+
 def test_quaternion_matrix_roundtrip():
     rng = np.random.default_rng(1)
     q = rng.normal(size=(32, 4))

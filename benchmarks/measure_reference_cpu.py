@@ -90,12 +90,100 @@ def get_pocket_ragged(batch):
     return pocket, num_nodes, n, module.atom_nf, module.residue_nf
 
 
+def make_ligand_ragged(batch, num_nodes, atom_nf, pocket):
+    """Random ligand batch near the pocket center, reference ragged layout."""
+    import torch
+
+    center = pocket["x"].mean(0)
+    xs, ohs, mask = [], [], []
+    g = torch.Generator().manual_seed(1)
+    for b, n in enumerate(num_nodes):
+        n = int(n)
+        xs.append(center + 2.0 * torch.randn(n, 3, generator=g))
+        ohs.append(torch.nn.functional.one_hot(
+            torch.randint(0, atom_nf, (n,), generator=g), atom_nf).float())
+        mask.append(torch.full((n,), b, dtype=torch.long))
+    return {
+        "x": torch.cat(xs), "one_hot": torch.cat(ohs),
+        "mask": torch.cat(mask),
+        "size": torch.as_tensor(np.asarray(num_nodes), dtype=torch.long),
+    }
+
+
+def measure_train(args, pocket, num_nodes, n_pocket, atom_nf, residue_nf):
+    """Time the reference training step: ConditionalDDPM loss + l2 assembly
+    (lightning_modules.py:246-282, mode=pocket_conditioning, no virtual
+    nodes / aux loss) + backward + AdamW(amsgrad, wd=1e-12)
+    (lightning_modules.py:183-185).  Throughput is weight-independent."""
+    import torch
+
+    ddpm = build_reference_model(atom_nf, residue_nf, timesteps=T_FULL)
+    ddpm.train()
+    opt = torch.optim.AdamW(ddpm.parameters(), lr=1e-4, amsgrad=True,
+                            weight_decay=1e-12)
+    ligand = make_ligand_ragged(args.batch, num_nodes, atom_nf, pocket)
+    x_dims = 3
+
+    def one_step():
+        opt.zero_grad()
+        (delta_log_px, error_t_lig, error_t_pocket, SNR_weight,
+         loss_0_x_ligand, loss_0_x_pocket, loss_0_h, neg_log_const_0,
+         kl_prior, log_pN, t_int, xh_lig_hat, info) = ddpm(
+            {k: v.clone() for k, v in ligand.items()},
+            {k: v.clone() for k, v in pocket.items()}, return_info=True)
+        denom_lig = x_dims * ligand["size"] + ddpm.atom_nf * ligand["size"]
+        error_t_lig = error_t_lig / denom_lig
+        denom_pocket = (x_dims + ddpm.residue_nf) * pocket["size"]
+        error_t_pocket = error_t_pocket / denom_pocket
+        loss_t = 0.5 * (error_t_lig + error_t_pocket)
+        loss_0 = loss_0_x_ligand / (x_dims * ligand["size"]) \
+            + loss_0_x_pocket / (x_dims * pocket["size"]) + loss_0_h
+        nll = (loss_t + loss_0 + kl_prior).mean(0)
+        nll.backward()
+        opt.step()
+        return float(nll)
+
+    torch.manual_seed(0)
+    one_step()  # warmup
+    times = []
+    for _ in range(args.t_train):
+        t0 = time.perf_counter()
+        loss = one_step()
+        times.append(time.perf_counter() - t0)
+    per_step = float(np.median(times))
+
+    result = {
+        "metric": "reference_cpu_train_samples_per_sec",
+        "value": round(args.batch / per_step, 5),
+        "unit": "samples/s",
+        "batch": args.batch,
+        "n_pocket_atoms": n_pocket,
+        "ligand_sizes": [int(x) for x in num_nodes],
+        "sec_per_step": round(per_step, 4),
+        "measured_steps": args.t_train,
+        "torch_threads": torch.get_num_threads(),
+        "loss": round(loss, 4),
+    }
+    print(json.dumps(result))
+
+    if args.write:
+        path = REPO / "BASELINE.json"
+        data = json.loads(path.read_text())
+        data.setdefault("measured", {})["reference_cpu_train"] = result
+        path.write_text(json.dumps(data, indent=2) + "\n")
+        print(f"recorded in {path}", file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--t", type=int, default=25,
                    help="measured steps (extrapolated to T=500)")
     p.add_argument("--full-T", action="store_true")
+    p.add_argument("--train", action="store_true",
+                   help="measure the training step instead of the sampler")
+    p.add_argument("--t-train", type=int, default=5,
+                   help="measured training steps (median)")
     p.add_argument("--write", action="store_true",
                    help="record into BASELINE.json 'measured'")
     args = p.parse_args()
@@ -105,6 +193,9 @@ def main():
     t_measure = T_FULL if args.full_T else args.t
     pocket, num_nodes, n_pocket, atom_nf, residue_nf = \
         get_pocket_ragged(args.batch)
+    if args.train:
+        measure_train(args, pocket, num_nodes, n_pocket, atom_nf, residue_nf)
+        return
     ddpm = build_reference_model(atom_nf, residue_nf, timesteps=T_FULL)
 
     torch.manual_seed(0)

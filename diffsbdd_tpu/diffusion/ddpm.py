@@ -499,6 +499,57 @@ class JointDDPM(DDPMBase):
                 jnp.concatenate([x_pkt, h_pkt], -1))
 
     @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("n_steps", "timesteps"))
+    def _denoise_segment(self, params, rng, z_lig, z_pkt, lig_mask, pkt_mask,
+                         s_start, n_steps: int, timesteps: int):
+        """n_steps consecutive joint reverse steps starting at s = s_start
+        (descending); used by the segmented sampler."""
+        B = lig_mask.shape[0]
+
+        def step(carry, k):
+            z_lig, z_pkt = carry
+            sv = s_start - k
+            key = jax.random.fold_in(rng, sv)
+            s_arr = jnp.full((B, 1), sv, jnp.float32) / timesteps
+            t_arr = (jnp.full((B, 1), sv, jnp.float32) + 1) / timesteps
+            z_lig, z_pkt = self._denoise_step(
+                params, key, z_lig, z_pkt, lig_mask, pkt_mask, s_arr, t_arr)
+            return (z_lig, z_pkt), None
+
+        (z_lig, z_pkt), _ = jax.lax.scan(
+            step, (z_lig, z_pkt), jnp.arange(n_steps))
+        return z_lig, z_pkt
+
+    def sample_segmented(self, params, rng, masks,
+                         timesteps: Optional[int] = None, segment: int = 100):
+        """Same chain as ``sample`` but dispatched in ``segment``-step jitted
+        chunks (identical trajectory: per-step keys are folded from the scan
+        key) — keeps every device execution short where a single monolithic
+        T-step dispatch would trip execution watchdogs."""
+        timesteps = self.T if timesteps is None else timesteps
+        lig_mask, pkt_mask = masks
+
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        z_lig, z_pkt = self.sample_combined_noise(
+            k_init, {"mask": lig_mask}, {"mask": pkt_mask})
+
+        s = timesteps - 1
+        while s >= 0:
+            n = min(segment, s + 1)
+            z_lig, z_pkt = self._denoise_segment(
+                params, k_scan, z_lig, z_pkt, lig_mask, pkt_mask,
+                jnp.asarray(s, jnp.float32), n_steps=n, timesteps=timesteps)
+            s -= n
+
+        x_lig, h_lig, x_pkt, h_pkt = self.sample_p_xh_given_z0(
+            params, k_final, z_lig, z_pkt, lig_mask, pkt_mask)
+        x_lig, x_pkt = self.remove_mean(x_lig, x_pkt, lig_mask, pkt_mask)
+        x_lig = x_lig * lig_mask[..., None]
+        x_pkt = x_pkt * pkt_mask[..., None]
+        return (jnp.concatenate([x_lig, h_lig], -1),
+                jnp.concatenate([x_pkt, h_pkt], -1))
+
+    @partial(jax.jit, static_argnums=(0,),
              static_argnames=("timesteps", "return_frames"))
     def sample_chain(self, params, rng, masks, timesteps: Optional[int] = None,
                      return_frames: int = 1):

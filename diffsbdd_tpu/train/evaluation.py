@@ -78,8 +78,10 @@ class SamplingEvaluator:
             lig_mask = jnp.asarray(num_nodes_to_mask(n_lig, nl_pad))
             pkt_mask = jnp.asarray(num_nodes_to_mask(n_pkt, np_pad))
             rng, step = jax.random.split(rng)
-            xh_lig, xh_pkt = mod.ddpm.sample(params, step,
-                                             (lig_mask, pkt_mask))
+            # segmented dispatch: identical trajectory, but no single device
+            # execution spans the full T steps (execution-watchdog safety)
+            xh_lig, xh_pkt = mod.ddpm.sample_segmented(
+                params, step, (lig_mask, pkt_mask), segment=50)
             molecules.extend(self._to_molecules(xh_lig, lig_mask))
             atom_types.extend(
                 np.asarray(xh_lig[..., 3:].argmax(-1))[
@@ -125,8 +127,9 @@ class SamplingEvaluator:
             nl_pad = round_to_bucket(int(num_nodes.max()), mod.lig_bucket)
             lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, nl_pad))
             rng, step = jax.random.split(rng)
-            xh_lig, xh_pkt = mod.ddpm.sample_given_pocket(
-                params, step, pocket, lig_mask)
+            # segmented dispatch — see _analyze_joint
+            xh_lig, xh_pkt = mod.ddpm.sample_given_pocket_segmented(
+                params, step, pocket, lig_mask, segment=50)
             mols, kept = self._to_molecules(xh_lig, lig_mask,
                                             strip_virtual=mod.virtual_nodes,
                                             return_kept=True)
@@ -178,8 +181,8 @@ class SamplingEvaluator:
             np_pad = round_to_bucket(int(n_pkt.max()), mod.pocket_bucket)
             lig_mask = jnp.asarray(num_nodes_to_mask(n_lig, nl_pad))
             pkt_mask = jnp.asarray(num_nodes_to_mask(n_pkt, np_pad))
-            xh_lig, xh_pkt = mod.ddpm.sample(params, rng,
-                                             (lig_mask, pkt_mask))
+            xh_lig, xh_pkt = mod.ddpm.sample_segmented(
+                params, rng, (lig_mask, pkt_mask), segment=50)
             pocket_mask = pkt_mask
         else:
             _, pocket, _ = self._val_pocket_batch(list(range(n_samples)))
@@ -193,8 +196,8 @@ class SamplingEvaluator:
                 num_nodes = np.clip(num_nodes, 1, None)
             nl_pad = round_to_bucket(int(num_nodes.max()), mod.lig_bucket)
             lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, nl_pad))
-            xh_lig, xh_pkt = mod.ddpm.sample_given_pocket(
-                params, rng, pocket, lig_mask)
+            xh_lig, xh_pkt = mod.ddpm.sample_given_pocket_segmented(
+                params, rng, pocket, lig_mask, segment=50)
             pocket_mask = pocket["mask"]
 
         outdir = Path(self.outdir, f"epoch_{epoch}")

@@ -316,6 +316,23 @@ def test_segmented_sampler_matches_plain(setup):
     np.testing.assert_allclose(np.asarray(b_pkt), np.asarray(a_pkt), atol=1e-5)
 
 
+def test_joint_segmented_sampler_matches_plain(setup):
+    """Segmented joint generation must reproduce the monolithic scan exactly
+    (same key split + per-step fold-in)."""
+    ligand, pocket, models = setup
+    ddpm, params = models["JointDDPM"]
+    masks = (ligand["mask"], pocket["mask"])
+    rng = jax.random.PRNGKey(13)
+    a_lig, a_pkt = ddpm.sample(params, rng, masks)
+    for segment in (3, 1000):
+        b_lig, b_pkt = ddpm.sample_segmented(params, rng, masks,
+                                             segment=segment)
+        np.testing.assert_allclose(np.asarray(b_lig), np.asarray(a_lig),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b_pkt), np.asarray(a_pkt),
+                                   atol=1e-5)
+
+
 def test_joint_inpaint_segmented_equals_monolithic(setup):
     """The segmented joint RePaint driver must produce a bit-identical
     trajectory (same scan key + per-iteration fold-in) to the single-scan

@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -116,8 +117,8 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
     # compile + warmup at a short schedule: the T=500 run reuses the same
     # compiled 50-step segment + decode functions
     warm = module.ddpm.sample_given_pocket_segmented(
-        params, jax.random.PRNGKey(1), pocket, lig_mask, timesteps=100,
-        segment=50, shared_pocket=True)
+        params, jax.random.PRNGKey(1), pocket, lig_mask,
+        timesteps=min(100, T), segment=50, shared_pocket=True)
     sync(warm)
 
     times = []
@@ -173,8 +174,20 @@ def main():
     # harness smoke mode (CPU-runnable, tiny schedule): validates the bench
     # plumbing without a TPU; the driver runs the full configuration
     smoke = os.environ.get("DIFFSBDD_BENCH_SMOKE") == "1"
+    model_kw = {}
     if smoke:
         T, batches, impl = 10, (4, 2), "xla"
+        # plumbing-only validation at a small model: the full-size dense
+        # chain runs minutes per step on a single CPU core
+        model_kw = dict(hidden_nf=32, n_layers=2)
+        # self-contained CPU smoke: the axon TPU plugin overrides
+        # JAX_PLATFORMS at import, so pin the platform explicitly — the
+        # smoke must not depend on (or wedge) the tunnel
+        jax.config.update("jax_platforms", "cpu")
+        # do NOT load the persistent cache on CPU: its entries are AOT CPU
+        # executables whose machine features may come from a different host
+        # (XLA warns "could lead to execution errors such as SIGILL")
+        jax.config.update("jax_compilation_cache_dir", None)
 
     # fused Pallas EGNN kernels; 'float32_x2' keeps the XLA glue at exact
     # f32 and runs the kernels' pair-MLP dots as 2-pass bf16 splits
@@ -189,7 +202,7 @@ def main():
     # ligand row tiles (pocket coordinates are frozen).
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
                                    matmul_precision="float32_x2",
-                                   egnn_impl=impl)
+                                   egnn_impl=impl, **model_kw)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 
     # secondary (small-batch) point first: the tunnel degrades under
@@ -235,15 +248,45 @@ def _emit_failure(reason: str):
     }))
 
 
+def _probe_device(timeout_s: int = 150) -> bool:
+    """Touch the TPU in a SUBPROCESS with a timeout.
+
+    The tunnel wedges rather than errors: device init or the first dispatch
+    can block for tens of minutes, then the tunnel recovers after idling.
+    Probing in a disposable child keeps this process clean so the bench can
+    wait out a wedge instead of inheriting a poisoned backend."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((256, 256)); "
+            "float(jnp.sum(x @ x)); print('ok')")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0 and b"ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
     # hard watchdog: a wedged TPU tunnel hangs rather than erroring; always
     # emit a parseable record
+    import os as _os
     import signal
+
+    # a wedged tunnel heals with idle time: probe cheaply, and if the device
+    # is unresponsive, rest and retry before burning the measurement attempt
+    if _os.environ.get("DIFFSBDD_BENCH_SMOKE") != "1":
+        for attempt in range(4):
+            if _probe_device():
+                break
+            print(f"device probe {attempt + 1} unresponsive; "
+                  "resting 300s for tunnel recovery", file=sys.stderr)
+            time.sleep(300)
 
     def _on_timeout(signum, frame):
         _emit_failure("watchdog: bench exceeded 1200s (TPU tunnel hang?)")
-        import os
-        os._exit(0)
+        _os._exit(0)
 
     signal.signal(signal.SIGALRM, _on_timeout)
     signal.alarm(1200)

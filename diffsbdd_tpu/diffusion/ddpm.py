@@ -1406,10 +1406,12 @@ class SimpleConditionalDDPM(ConditionalDDPM):
     # missing centering would leave the prior mean at absolute PDB
     # coordinates (tens of A, amplified ~1/alpha_T through the chain).
 
-    def sample_given_pocket(self, params, rng, pocket, lig_mask, timesteps=None):
+    def sample_given_pocket(self, params, rng, pocket, lig_mask,
+                            timesteps=None, shared_pocket: bool = False):
         _, pocket = self._center_on_pocket(None, pocket)
         return super().sample_given_pocket(
-            params, rng, pocket, lig_mask, timesteps=timesteps)
+            params, rng, pocket, lig_mask, timesteps=timesteps,
+            shared_pocket=shared_pocket)
 
     def sample_given_pocket_segmented(self, params, rng, pocket, lig_mask,
                                       timesteps=None, segment: int = 100,

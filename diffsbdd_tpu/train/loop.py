@@ -341,16 +341,23 @@ class Trainer:
 
     def fit(self, state, rng, n_epochs: int, eval_every: int = 1):
         state = replicate(state, self.mesh)
+        # host-side step counter: state.step increments by exactly 1 per
+        # train_step call, and int(state.step) every iteration would force a
+        # host-device sync per step, defeating log_every_n_steps' purpose of
+        # bounding sync cost
+        step = int(state.step)
+        train_info = None
         for epoch in range(n_epochs):
             t0 = time.time()
             for i, batch in enumerate(self.train_loader):
                 rng, step_rng = jax.random.split(rng)
                 ligand = shard_batch(batch["ligand"], self.mesh)
                 pocket = shard_batch(batch["pocket"], self.mesh)
-                state, info = self.train_step(state, step_rng, ligand, pocket)
-                step = int(state.step)
+                state, train_info = self.train_step(state, step_rng,
+                                                    ligand, pocket)
+                step += 1
                 if step % self.log_every_n_steps == 0:
-                    self.log(jax.device_get(info), "train", step)
+                    self.log(jax.device_get(train_info), "train", step)
 
             if (epoch + 1) % eval_every == 0 and self.val_loader is not None:
                 val_losses = []
@@ -361,7 +368,7 @@ class Trainer:
                     info = self.eval_step(state.params, step_rng, ligand, pocket)
                     val_losses.append(float(info["loss"]))
                 val_loss = float(np.mean(val_losses))
-                self.log({"loss": val_loss}, "val", int(state.step))
+                self.log({"loss": val_loss}, "val", step)
                 if self.is_main_process:
                     cfg_dict = self.cfg.to_dict()
                     cfg_dict["node_histogram"] = np.asarray(
@@ -379,22 +386,35 @@ class Trainer:
             # reference
             if self.evaluator is not None and self.is_main_process:
                 ep = self.cfg.eval_params
-                if (epoch + 1) % self.cfg.eval_epochs == 0:
+                do_eval = (epoch + 1) % self.cfg.eval_epochs == 0
+                do_vis = (epoch + 1) % self.cfg.visualize_sample_epoch == 0
+                do_chain = (epoch + 1) % self.cfg.visualize_chain_epoch == 0
+                eval_params = state.params
+                if (do_eval or do_vis or do_chain) and jax.process_count() > 1:
+                    # multi-host: params live on the global mesh and are not
+                    # fully addressable from this process alone; pull the
+                    # (replicated) values to host so the rank-0 evaluator's
+                    # jitted sampling runs as an ordinary local computation
+                    eval_params = jax.device_get(state.params)
+                if do_eval:
                     rng, k = jax.random.split(rng)
                     tic = time.time()
                     metrics = self.evaluator.sample_and_analyze(
-                        state.params, k, ep.n_eval_samples,
+                        eval_params, k, ep.n_eval_samples,
                         batch_size=ep.get("eval_batch_size"))
-                    self.log(metrics, "val", int(state.step))
+                    self.log(metrics, "val", step)
                     print(f"Evaluation took {time.time() - tic:.2f} seconds")
-                if (epoch + 1) % self.cfg.visualize_sample_epoch == 0:
+                if do_vis:
                     rng, k = jax.random.split(rng)
                     self.evaluator.sample_and_save(
-                        state.params, k, ep.n_visualize_samples, epoch=epoch)
-                if (epoch + 1) % self.cfg.visualize_chain_epoch == 0:
+                        eval_params, k, ep.n_visualize_samples, epoch=epoch)
+                if do_chain:
                     rng, k = jax.random.split(rng)
                     self.evaluator.sample_chain_and_save(
-                        state.params, k, ep.keep_frames, epoch=epoch)
-            print(f"epoch {epoch}: {time.time() - t0:.1f}s "
-                  f"loss={float(info['loss']):.4f}")
+                        eval_params, k, ep.keep_frames, epoch=epoch)
+            if train_info is not None:
+                print(f"epoch {epoch}: {time.time() - t0:.1f}s "
+                      f"loss={float(train_info['loss']):.4f}")
+            else:  # empty train shard (e.g. tiny dataset over many hosts)
+                print(f"epoch {epoch}: {time.time() - t0:.1f}s (no batches)")
         return state, rng

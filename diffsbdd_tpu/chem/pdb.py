@@ -178,3 +178,30 @@ def get_pocket_from_ligand(structure: Structure, ref_ligand: str,
     lig_coords = np.array([a.coord for a in lig_res.atoms], dtype=np.float32)
     return get_pocket_residues_from_coords(
         structure, lig_coords, dist_cutoff, skip_residue=lig_res)
+
+
+def write_receptor_pdb(src_path, dst_path, exclude_hetero=()):
+    """Copy the first model of ``src_path`` to ``dst_path``, dropping the
+    HETATM records of the listed ligands.
+
+    ``exclude_hetero``: iterable of (resname, chain_id, resseq) triples.
+    Mirrors the reference's receptor-file creation for BindingMOAD val/test
+    complexes (process_bindingmoad.py:539-574: detach the ligand from a
+    structure copy, save model 0 with PDBIO) without the BioPython
+    dependency.  CONECT/MASTER bookkeeping records are dropped (they may
+    reference removed serials); coordinate records pass through verbatim.
+    """
+    exclude = {(str(n).strip(), str(c), int(r)) for n, c, r in exclude_hetero}
+    with open(src_path) as f_in, open(dst_path, "w") as f_out:
+        for line in f_in:
+            rec = line[:6]
+            if rec == "ENDMDL":
+                f_out.write("END\n")
+                break
+            if rec in ("CONECT", "MASTER"):
+                continue
+            if rec == "HETATM" and len(line) >= 27:
+                key = (line[17:20].strip(), line[21], int(line[22:26]))
+                if key in exclude:
+                    continue
+            f_out.write(line)

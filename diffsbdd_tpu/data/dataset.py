@@ -81,7 +81,9 @@ class AppendVirtualNodes:
         n_real = len(data["lig_coords"])
         n_virt = self.max_ligand_size - n_real
         mu = data["lig_coords"].mean(0, keepdims=True)
-        sigma = data["lig_coords"].std(0).max()
+        # sample std (ddof=1) like the reference's torch.std (utils.py:216);
+        # a 1-atom ligand gets sigma=0 instead of the reference's NaN
+        sigma = data["lig_coords"].std(0, ddof=1).max() if n_real > 1 else 0.0
         virt_coords = self.rng.standard_normal((n_virt, 3)).astype(np.float32) \
             * sigma + mu
 
@@ -124,8 +126,12 @@ def apply_virtual_nodes_batch(lig: Dict[str, np.ndarray],
     x = lig["x"]
     cnt = np.maximum(sizes, 1).astype(np.float64)[:, None]
     mu = x.sum(1) / cnt                                        # (B, 3)
-    var = ((x - mu[:, None, :]) ** 2 * real[..., None]).sum(1) / cnt
+    # sample variance (ddof=1), matching torch.std in the reference
+    # transform (utils.py:216); single-atom ligands get sigma=0
+    var = ((x - mu[:, None, :]) ** 2 * real[..., None]).sum(1) \
+        / np.maximum(cnt - 1, 1)
     sigma = np.sqrt(var).max(1)                                # (B,)
+    sigma = np.where(sizes > 1, sigma, 0.0)
     noise = rng.standard_normal((B, n_pad, 3))
     xv = mu[:, None, :] + sigma[:, None, None] * noise
     x = np.where(virt[..., None], xv, x).astype(np.float32)
@@ -283,9 +289,11 @@ class PaddedLoader:
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     continue
-                # repeat items so every batch has a static batch dimension
+                # repeat items so every batch has a static batch dimension;
+                # np.resize tiles `order` as often as needed, so the
+                # invariant holds even when batch_size > 2*len(dataset)
                 idx = np.concatenate(
-                    [idx, order[:self.batch_size - len(idx)]])
+                    [idx, np.resize(order, self.batch_size - len(idx))])
             if self.process_count > 1:
                 # this host's contiguous slice of the global batch; the
                 # bucket shapes below are computed from the LOCAL slice only

@@ -204,16 +204,44 @@ def process_ligand_and_pocket(struct: pdbmod.Structure, ligand_name: str,
     return ({"lig_coords": lig_coords,
              "lig_one_hot": lig_one_hot.astype(np.float32)},
             {"pocket_coords": pocket_coords.astype(np.float32),
-             "pocket_one_hot": pocket_one_hot.astype(np.float32)})
+             "pocket_one_hot": pocket_one_hot.astype(np.float32),
+             "pocket_ids": [f"{r.chain_id}:{r.resseq}"
+                            for r in pocket_residues]})
+
+
+def _write_eval_files(out_dir: Path, pdbfile: Path, p: str, mol_id: str,
+                      ligand_data, pocket_data, dataset_info):
+    """Per-complex SDF + pocket-id txt for the benchmark sampler and docking
+    (process_bindingmoad.py:539-566): ligand bonds via the EDM table route
+    (the reference shells out to OpenBabel; our builder bridges to it when
+    installed)."""
+    from diffsbdd_tpu.chem.molecule import build_molecule
+    from diffsbdd_tpu.chem.sdfio import write_sdf_file
+
+    name = f"{p}-{pdbfile.suffix[1:]}_{mol_id}"
+    mol = build_molecule(ligand_data["lig_coords"],
+                         np.argmax(ligand_data["lig_one_hot"], axis=1),
+                         dataset_info)
+    write_sdf_file(out_dir / f"{name}.sdf", [mol])
+    (out_dir / f"{name}.txt").write_text(
+        " ".join(pocket_data["pocket_ids"]))
 
 
 def process_split(examples, pdbdir, atom_dict, amino_acid_dict, dist_cutoff,
-                  ca_only):
+                  ca_only, out_dir=None, dataset_info=None):
+    """``out_dir`` (val/test): also write per-complex ligand SDF + pocket-id
+    txt and a receptor PDB with the processed ligands removed, and record
+    each complex's receptor file name — the evaluator resolves
+    '1abc.bio1' -> <split>/1ABC-bio1.pdb for docking-score metrics
+    (reference process_bindingmoad.py:522,539-574)."""
     acc = {k: [] for k in ("lig_coords", "lig_one_hot", "lig_mask",
                            "pocket_coords", "pocket_one_hot", "pocket_mask")}
-    names, failed = [], []
+    names, receptors, failed = [], [], []
     count = 0
     pdbdir = Path(pdbdir)
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
 
     for p, ligands in ligand_list_to_dict(examples).items():
         # biounit files are named <pdb>.bio<N>; a ligand may live in ANY
@@ -236,6 +264,7 @@ def process_split(examples, pdbdir, atom_dict, amino_acid_dict, dist_cutoff,
                 errors.setdefault("__parse__", []).append(pdbfile.name)
                 continue
             still = []
+            bio_processed = []
             for m in remaining:
                 ligand_name, ligand_chain, ligand_resi = m[0].split(":")
                 try:
@@ -247,6 +276,7 @@ def process_split(examples, pdbdir, atom_dict, amino_acid_dict, dist_cutoff,
                     still.append(m)
                     continue
                 names.append(f"{p}_{m[0]}")
+                receptors.append(pdbfile.name)
                 acc["lig_coords"].append(ligand_data["lig_coords"])
                 acc["lig_one_hot"].append(ligand_data["lig_one_hot"])
                 acc["lig_mask"].append(
@@ -256,12 +286,22 @@ def process_split(examples, pdbdir, atom_dict, amino_acid_dict, dist_cutoff,
                 acc["pocket_mask"].append(
                     count * np.ones(len(pocket_data["pocket_coords"])))
                 count += 1
+                bio_processed.append(
+                    (ligand_name, ligand_chain, int(ligand_resi)))
+                if out_dir is not None:
+                    _write_eval_files(out_dir, pdbfile, p, m[0],
+                                      ligand_data, pocket_data, dataset_info)
+            if out_dir is not None and bio_processed:
+                pdbmod.write_receptor_pdb(
+                    pdbfile, out_dir / f"{p}-{pdbfile.suffix[1:]}.pdb",
+                    exclude_hetero=bio_processed)
             remaining = still
         for m in remaining:
             failed.append((errors.get(m[0], "NotFound"), p, m[0]))
 
     flat = {k: np.concatenate(v) if v else np.zeros((0,))
             for k, v in acc.items()}
+    flat["receptors"] = np.asarray(receptors)
     return names, flat, failed
 
 
@@ -304,7 +344,11 @@ def main(argv=None):
         tic = time()
         names, flat, failed = process_split(
             data_split[split], pdbdir, atom_dict, amino_acid_dict,
-            args.dist_cutoff, args.ca_only)
+            args.dist_cutoff, args.ca_only,
+            # val/test side files for the benchmark sampler + docking eval
+            out_dir=(processed_dir / split
+                     if split in {"val", "test"} else None),
+            dataset_info=dinfo)
         saveall(processed_dir / f"{split}.npz", names, **flat)
         print(f"{split}: {len(names)} complexes ({len(failed)} failed) "
               f"in {time() - tic:.1f}s")

@@ -23,12 +23,11 @@ import random
 import shutil
 from pathlib import Path
 from time import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
 from diffsbdd_tpu.chem import pdb as pdbmod
-from diffsbdd_tpu.chem.molecule import SimpleMol
 from diffsbdd_tpu.chem.sdfio import read_sdf
 
 
@@ -147,11 +146,13 @@ def type_histograms(lig_one_hot, pocket_one_hot, atom_decoder, aa_decoder):
 
 
 def saveall(filename, names, lig_coords, lig_one_hot, lig_mask,
-            pocket_coords, pocket_one_hot, pocket_mask):
+            pocket_coords, pocket_one_hot, pocket_mask, receptors=None):
+    extra = {} if receptors is None else {"receptors": receptors}
     np.savez(filename, names=names,
              lig_coords=lig_coords, lig_one_hot=lig_one_hot,
              lig_mask=lig_mask, pocket_coords=pocket_coords,
-             pocket_one_hot=pocket_one_hot, pocket_mask=pocket_mask)
+             pocket_one_hot=pocket_one_hot, pocket_mask=pocket_mask,
+             **extra)
 
 
 def read_split(split_path) -> Dict[str, list]:

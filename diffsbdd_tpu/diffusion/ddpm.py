@@ -124,10 +124,10 @@ class DDPMBase:
         return self.gamma_table(t)
 
     def apply_dynamics(self, params, xh_lig, xh_pkt, t, m_l, m_p,
-                       shared_pocket: bool = False):
+                       shared_pocket: bool = False, zero_nan: bool = False):
         return self.dynamics.apply(
             params["dynamics"], xh_lig, xh_pkt, t, m_l, m_p,
-            shared_pocket=shared_pocket)
+            shared_pocket=shared_pocket, zero_nan=zero_nan)
 
     def normalize(self, ligand: Optional[Batch] = None, pocket: Optional[Batch] = None):
         """x /= norm_x; one_hot = (one_hot - bias) / norm_h (en_diffusion.py:880-895)."""
@@ -317,8 +317,11 @@ class JointDDPM(DDPMBase):
 
         z_t_lig, z_t_pkt, eps_lig, eps_pkt = self.noised_representation(
             k_noise, xh_lig, xh_pkt, ligand, pocket, gamma_t)
+        # training passes zero_nan (dynamics.py:155-158): a transient NaN in
+        # the EGNN output corrupts one step instead of poisoning the params
         net_lig, net_pkt = self.apply_dynamics(
-            params, z_t_lig, z_t_pkt, t, ligand["mask"], pocket["mask"])
+            params, z_t_lig, z_t_pkt, t, ligand["mask"], pocket["mask"],
+            zero_nan=training)
 
         xh_lig_hat = self.xh_given_zt_and_epsilon(
             z_t_lig, net_lig, gamma_t, ligand["mask"])
@@ -893,7 +896,9 @@ class ConditionalDDPM(DDPMBase):
 
         z_t_lig, xh_pkt, eps_lig = self.noised_representation(
             k_noise, xh0_lig, xh0_pkt, m_l, m_p, gamma_t)
-        net_lig, _ = self.apply_dynamics(params, z_t_lig, xh_pkt, t, m_l, m_p)
+        # zero_nan in training: see JointDDPM.loss_terms
+        net_lig, _ = self.apply_dynamics(params, z_t_lig, xh_pkt, t, m_l, m_p,
+                                         zero_nan=training)
 
         xh_lig_hat = self.xh_given_zt_and_epsilon(z_t_lig, net_lig, gamma_t, m_l)
 

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from diffsbdd_tpu.models.egnn import EGNN, GNN, sin_embedding_dim
+from diffsbdd_tpu.models.egnn import EGNN, GNN
 
 
 def build_adjacency(
@@ -135,7 +135,7 @@ class EGNNDynamics(nn.Module):
 
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                 shared_pocket: bool = False):
+                 shared_pocket: bool = False, zero_nan: bool = False):
         # 'float32_x3': exact f32 for the XLA glue, 3-pass bf16-split dots
         # inside the Pallas kernels (fp32-grade except extreme cancellation,
         # half the MXU passes of HIGHEST); 'float32_x2' drops one more pass
@@ -145,10 +145,10 @@ class EGNNDynamics(nn.Module):
             self.matmul_precision, self.matmul_precision)
         with jax.default_matmul_precision(ambient):
             return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                                 shared_pocket)
+                                 shared_pocket, zero_nan)
 
     def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                 shared_pocket: bool = False):
+                 shared_pocket: bool = False, zero_nan: bool = False):
         B, NL = mask_lig.shape
         NP = mask_pkt.shape[1]
         nd = self.n_dims
@@ -277,7 +277,11 @@ class EGNNDynamics(nn.Module):
         h_final_pkt = _EncoderMLP(2 * self.residue_nf, self.residue_nf,
                                   name="residue_decoder")(h_final[:, NL:])
 
-        if self.zero_nan:
+        if zero_nan or self.zero_nan:
+            # reference training-time guard (dynamics.py:155-158): zero NaN
+            # velocities so one numerical blowup corrupts a step instead of
+            # NaN-poisoning the parameters; the training loss path passes
+            # zero_nan=True per call (flax fields are construction-static)
             vel = jnp.nan_to_num(vel)
         elif self.nan_check:
             # reference eval semantics: abort on NaN velocities rather than

@@ -30,7 +30,7 @@ Component map (reference -> here):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

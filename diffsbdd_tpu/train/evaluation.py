@@ -9,13 +9,13 @@ like the reference's ``suffix = '' if joint else '_given_pocket'``.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffsbdd_tpu.chem.visualization import (save_padded_xyz, save_xyz_file,
+from diffsbdd_tpu.chem.visualization import (save_xyz_file,
                                              visualize, visualize_chain)
 from diffsbdd_tpu.data.dataset import pad_batch, round_to_bucket
 from diffsbdd_tpu.diffusion.ddpm import JointDDPM, num_nodes_to_mask

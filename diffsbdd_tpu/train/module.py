@@ -8,7 +8,6 @@ and optimizer state live with the training loop.
 """
 from __future__ import annotations
 
-import math
 import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -271,7 +270,12 @@ class LigandPocketDDPM:
             for res in residues:
                 ca = res.get_atom("CA")
                 if ca is None:
-                    continue
+                    # the reference indexes res['CA'] and raises
+                    # (lightning_modules.py:718); silently dropping the
+                    # residue would condition on a different binding site
+                    # than the user specified
+                    raise KeyError(
+                        f"residue {res.chain_id}:{res.resseq} has no CA atom")
                 coords.append(ca.coord)
                 types.append(self.pocket_type_encoder[res.one_letter()])
             coords = np.asarray(coords, np.float32)

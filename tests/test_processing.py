@@ -211,6 +211,47 @@ def test_moad_extraction():
             dinfo["aa_encoder"], dist_cutoff=8.0, ca_only=True)
 
 
+@pytest.mark.skipif(not EXAMPLE_PDB.exists(), reason="example unavailable")
+def test_moad_process_split_receptors_and_eval_files(tmp_path):
+    """Receptor names land in the npz and val/test get SDF + pocket txt +
+    ligand-free receptor PDB (process_bindingmoad.py:522,539-574)."""
+    dinfo = dataset_params["bindingmoad"]
+    # stage the example as a biounit file under its pdb id
+    pdbdir = tmp_path / "pdbs"
+    pdbdir.mkdir()
+    (pdbdir / "3rfm.bio1").write_text(EXAMPLE_PDB.read_text())
+    examples = [("1.1.1.1", "3RFM", ("CFF:A:330", "valid", None))]
+    out_dir = tmp_path / "val"
+    names, flat, failed = moad.process_split(
+        examples, pdbdir, dinfo["atom_encoder"], dinfo["aa_encoder"],
+        dist_cutoff=8.0, ca_only=True, out_dir=out_dir,
+        dataset_info=dinfo)
+    assert not failed
+    assert list(flat["receptors"]) == ["3rfm.bio1"]
+
+    sdf = out_dir / "3RFM-bio1_CFF:A:330.sdf"
+    txt = out_dir / "3RFM-bio1_CFF:A:330.txt"
+    rec = out_dir / "3RFM-bio1.pdb"
+    assert sdf.exists() and txt.exists() and rec.exists()
+    assert "A:330" not in txt.read_text().split()  # ligand is not its pocket
+    assert len(txt.read_text().split()) > 5
+    # receptor file no longer contains the ligand, but keeps the protein
+    from diffsbdd_tpu.chem.pdb import parse_pdb
+    rec_struct = parse_pdb(rec)
+    assert all(r.resname != "CFF" for r in rec_struct.get_residues())
+    assert sum(r.is_standard_aa for r in rec_struct.get_residues()) > 100
+    # the SDF round-trips through the reader with the right atom count
+    from diffsbdd_tpu.chem.sdfio import read_sdf
+    assert len(read_sdf(sdf)[0].coords) == 14
+
+    # npz -> dataset -> per-item receptor plumbing (evaluator consumes this)
+    from diffsbdd_tpu.data.proc_crossdock import saveall
+    from diffsbdd_tpu.data.dataset import LigandPocketDataset
+    saveall(tmp_path / "val.npz", names, **flat)
+    ds = LigandPocketDataset(tmp_path / "val.npz")
+    assert ds[0]["receptors"] == "3rfm.bio1"
+
+
 # -------------------------------------------------------------- misc utils
 def test_calc_rmsd():
     from diffsbdd_tpu.chem.molecule import SimpleMol

@@ -79,6 +79,32 @@ def test_loss_fn_runs(module_and_params):
     assert np.isfinite(float(loss_eval))
 
 
+def test_training_zero_nan_guard(module_and_params):
+    """A NaN in the EGNN velocity output corrupts one training step instead
+    of the loss (reference dynamics.py:155-158: vel[isnan]=0 in training,
+    error at eval)."""
+    import flax
+
+    cfg, module, params = module_and_params
+    flat = flax.traverse_util.flatten_dict(params["dynamics"])
+    poisoned = {
+        k: (np.full_like(v, np.nan) if "coord_mlp" in "/".join(map(str, k))
+            and str(k[-1]) == "kernel" and v.ndim == 2 and v.shape[1] == 1
+            else v)
+        for k, v in flat.items()}
+    assert any(np.isnan(np.asarray(v)).any() for v in poisoned.values())
+    bad = dict(params)
+    bad["dynamics"] = flax.traverse_util.unflatten_dict(poisoned)
+
+    ligand, pocket = make_batch(jax.random.PRNGKey(1), module)
+    loss, _ = module.loss_fn(bad, jax.random.PRNGKey(2), ligand, pocket,
+                             training=True)
+    assert np.isfinite(float(loss))
+    loss_eval, _ = module.loss_fn(bad, jax.random.PRNGKey(2), ligand, pocket,
+                                  training=False)
+    assert not np.isfinite(float(loss_eval))
+
+
 def test_lj_potential():
     # two atoms at optimal radius -> potential = -1 per directed pair
     x = jnp.array([[[0.0, 0, 0], [1.2, 0, 0]]])

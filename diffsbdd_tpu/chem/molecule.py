@@ -109,9 +109,12 @@ class SimpleMol:
     def check_valency(self) -> bool:
         """True when every atom's total bond order is chemically allowed.
 
-        The table-based counterpart of RDKit sanitization: an atom passes when
-        its bond-order sum does not exceed (or, for multi-valence elements,
-        hits one of) its allowed valences from ALLOWED_BONDS.
+        The table-based counterpart of RDKit sanitization: an atom passes
+        when its explicit bond-order sum does not exceed its MAXIMUM allowed
+        valence from ALLOWED_BONDS.  Sums below an allowed valence are fine
+        — implicit hydrogens fill the gap, exactly as RDKit pads explicit
+        valence up to the next permitted value (e.g. P with 4 bonds is
+        valid: one implicit H completes valence 5).
         """
         for sym, orders in zip(self.symbols, self.neighbor_orders()):
             allowed = ALLOWED_BONDS.get(sym)

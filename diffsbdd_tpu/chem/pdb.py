@@ -63,14 +63,29 @@ class Structure:
 
     def __init__(self, residues: List[Residue]):
         self.residues = residues
-        self._index: Dict[tuple, Residue] = {
-            (r.chain_id, r.resseq): r for r in residues}
+        self._index: Dict[tuple, List[Residue]] = {}
+        for r in residues:
+            self._index.setdefault((r.chain_id, r.resseq), []).append(r)
 
     def get_residues(self) -> List[Residue]:
         return self.residues
 
     def residue(self, chain_id: str, resseq: int) -> Residue:
-        return self._index[(chain_id, resseq)]
+        """The unique residue at (chain, resseq).
+
+        Raises KeyError when the address is ambiguous — e.g. insertion-code
+        variants (100 vs 100A) or an ATOM residue and a HETATM ligand
+        sharing a number.  Silently picking one would extract the wrong
+        pocket/ligand; the reference fails loudly too
+        (utils.get_residue_with_resi asserts exactly one match)."""
+        matches = self._index[(chain_id, resseq)]
+        if len(matches) > 1:
+            desc = ", ".join(f"{r.resname}{r.resseq}{r.icode.strip()}"
+                             for r in matches)
+            raise KeyError(
+                f"ambiguous residue {chain_id}:{resseq} ({desc}); "
+                f"the PDB uses insertion codes or duplicate numbering")
+        return matches[0]
 
     def residues_of_chain(self, chain_id: str) -> List[Residue]:
         return [r for r in self.residues if r.chain_id == chain_id]
@@ -97,8 +112,14 @@ def _element_from_record(line: str, atom_name: str) -> str:
 
 
 def parse_pdb(path) -> Structure:
-    """Parse the first model of a PDB file into a Structure."""
+    """Parse the first model of a PDB file into a Structure.
+
+    Atom records of one residue interrupted by other residues' records are
+    merged back into the first occurrence, so a residue is never split into
+    duplicate entries (which would make its (chain, resseq) address look
+    ambiguous)."""
     residues: List[Residue] = []
+    by_key: Dict[tuple, Residue] = {}
     current_key = None
     current: Optional[Residue] = None
 
@@ -123,8 +144,11 @@ def parse_pdb(path) -> Structure:
             serial = int(line[6:11])
             key = (chain_id, resseq, icode, resname)
             if key != current_key:
-                current = Residue(chain_id, resname, resseq, icode, [])
-                residues.append(current)
+                current = by_key.get(key)
+                if current is None:
+                    current = Residue(chain_id, resname, resseq, icode, [])
+                    residues.append(current)
+                    by_key[key] = current
                 current_key = key
             current.atoms.append(Atom(
                 name=atom_name,

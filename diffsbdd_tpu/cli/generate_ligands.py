@@ -51,7 +51,11 @@ def main(argv=None):
         if len(molecules) >= args.n_samples:
             break
         rng, step_rng = jax.random.split(rng)
-        n = min(batch_size, args.n_samples - len(molecules))
+        # always request the full batch: a shrinking remainder would be a
+        # new batch shape, recompiling the whole T-step sampler per retry
+        # (test_set.py samples full batches for the same reason); the
+        # surplus is truncated below
+        n = batch_size
         num_nodes = None if args.num_nodes_lig is None else \
             np.full(n, args.num_nodes_lig)
         molecules.extend(module.generate_ligands(

@@ -22,6 +22,7 @@ from diffsbdd_tpu.chem.molecule import build_molecule, process_molecule
 from diffsbdd_tpu.chem.sdfio import read_sdf, write_sdf_file
 from diffsbdd_tpu.checkpoint import load_model
 from diffsbdd_tpu.data.dataset import round_to_bucket
+from diffsbdd_tpu.utils.misc import shift_to_pocket_frame
 from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
 
 
@@ -140,14 +141,8 @@ def inpaint_ligand(module, params, rng, pdb_file, n_samples: int,
         pkt_m = np.repeat(pkt_m[:1], frames, axis=0)
         com_before = np.repeat(com_before[:1], frames, axis=0)
         n_samples = frames
-    else:
-        xh_lig = np.array(xh_lig)
-        xh_pocket = np.array(xh_pocket)
-    com_after = (xh_pocket[..., :3] * pkt_m[..., None]).sum(1) \
-        / pkt_m.sum(1)[..., None]
-    shift = com_before - com_after
-    xh_pocket[..., :3] += shift[:, None, :] * pkt_m[..., None]
-    xh_lig[..., :3] += shift[:, None, :] * np.asarray(lig_mask)[..., None]
+    xh_lig, xh_pocket = shift_to_pocket_frame(
+        xh_lig, xh_pocket, np.asarray(lig_mask), pkt_m, com_before)
 
     molecules = []
     for b in range(n_samples):

@@ -23,6 +23,7 @@ from diffsbdd_tpu.chem.molecule import SimpleMol, build_molecule, process_molecu
 from diffsbdd_tpu.chem.sdfio import read_sdf, write_sdf_file
 from diffsbdd_tpu.checkpoint import load_model
 from diffsbdd_tpu.data.dataset import round_to_bucket
+from diffsbdd_tpu.utils.misc import shift_to_pocket_frame
 
 
 def prepare_ligands_from_mols(mols: List[SimpleMol], atom_encoder,
@@ -65,14 +66,9 @@ def diversify_ligands(module, params, rng, pocket, mols: List[SimpleMol],
         params, rng, ligand, pocket, noising_steps=timesteps,
         shared_pocket=True)
 
-    xh_lig = np.array(xh_lig)
-    xh_pocket = np.array(xh_pocket)
-    com_after = (xh_pocket[..., :3] * pkt_m[..., None]).sum(1) \
-        / pkt_m.sum(1)[..., None]
-    shift = com_before - com_after
-    xh_pocket[..., :3] += shift[:, None, :] * pkt_m[..., None]
     lig_m = np.asarray(ligand["mask"])
-    xh_lig[..., :3] += shift[:, None, :] * lig_m[..., None]
+    xh_lig, xh_pocket = shift_to_pocket_frame(
+        xh_lig, xh_pocket, lig_m, pkt_m, com_before)
 
     molecules = []
     for b in range(len(mols)):

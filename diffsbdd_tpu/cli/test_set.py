@@ -77,7 +77,9 @@ def main(argv=None):
         if args.skip_existing and time_file.exists() \
                 and processed_out.exists() and raw_out.exists():
             with open(time_file) as f:
-                time_per_pocket[str(sdf_file)] = float(f.read().split()[1])
+                # the file holds "<sdf path> <seconds>"; take the LAST token
+                # so paths containing whitespace still parse
+                time_per_pocket[str(sdf_file)] = float(f.read().split()[-1])
             continue
 
         for n_try in range(MAXNTRIES):

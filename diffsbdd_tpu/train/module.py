@@ -379,15 +379,11 @@ class LigandPocketDDPM:
                 segment=50, shared_pocket=True)
 
         # translate back into the original pocket frame
+        from diffsbdd_tpu.utils.misc import shift_to_pocket_frame
         pkt_m = np.asarray(pocket["mask"])
-        xh_lig = np.array(xh_lig)      # writable host copies
-        xh_pocket = np.array(xh_pocket)
-        com_after = (xh_pocket[..., :3] * pkt_m[..., None]).sum(1) \
-            / pkt_m.sum(1)[..., None]
-        shift = pocket_com_before - com_after
-        xh_pocket[..., :3] += shift[:, None, :] * pkt_m[..., None]
         lig_m = np.asarray(lig_mask)
-        xh_lig[..., :3] += shift[:, None, :] * lig_m[..., None]
+        xh_lig, xh_pocket = shift_to_pocket_frame(
+            xh_lig, xh_pocket, lig_m, pkt_m, pocket_com_before)
 
         molecules = []
         raw = []

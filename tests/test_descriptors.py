@@ -153,3 +153,38 @@ def test_metrics_never_nan_without_rdkit():
     qed, sa, logp, lip, div = props.evaluate_mean(
         [aspirin(), benzene(), hexane()])
     assert all(np.isfinite(v) for v in (qed, sa, logp, lip, div))
+
+
+def test_aromatic_n_classification_representation_invariant():
+    """HBA/HBD/TPSA must agree between kekulized orders and aromatic-marker
+    (order-4) bonds: marker-form pyridine N is an acceptor, pyrrole N keeps
+    its N-H, the oxazole O donates the lone pair (regression: the old
+    'no double bond' test dropped every marker-form pyridine N)."""
+    def ring_mol(symbols, order):
+        n = len(symbols)
+        return mol("".join(symbols),
+                   [(i, (i + 1) % n, order) for i in range(n)])
+
+    pyridine_m = ring_mol(list("NCCCCC"), 4)
+    pyridine_k = mol("NCCCCC", [(0, 1, 2), (1, 2, 1), (2, 3, 2),
+                                (3, 4, 1), (4, 5, 2), (5, 0, 1)])
+    pyrrole_m = ring_mol(list("NCCCC"), 4)
+    pyrrole_k = mol("NCCCC", [(0, 1, 1), (1, 2, 2), (2, 3, 1),
+                              (3, 4, 2), (4, 0, 1)])
+    imidazole_m = ring_mol(list("NCNCC"), 4)
+    imidazole_k = mol("NCNCC", [(0, 1, 1), (1, 2, 2), (2, 3, 1),
+                                (3, 4, 2), (4, 0, 1)])
+    for m_form, k_form in ((pyridine_m, pyridine_k),
+                           (pyrrole_m, pyrrole_k),
+                           (imidazole_m, imidazole_k)):
+        assert D.h_bond_acceptors(m_form) == D.h_bond_acceptors(k_form)
+        assert D.h_bond_donors(m_form) == D.h_bond_donors(k_form)
+        assert D.tpsa(m_form) == D.tpsa(k_form)
+    assert D.h_bond_acceptors(pyridine_m) == 1
+    assert (D.h_bond_acceptors(pyrrole_m), D.h_bond_donors(pyrrole_m)) \
+        == (0, 1)
+    assert (D.h_bond_acceptors(imidazole_m), D.h_bond_donors(imidazole_m)) \
+        == (1, 1)
+    oxazole_m = ring_mol(list("OCNCC"), 4)
+    assert (D.h_bond_acceptors(oxazole_m), D.h_bond_donors(oxazole_m)) \
+        == (2, 0)

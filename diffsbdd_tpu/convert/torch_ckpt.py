@@ -88,8 +88,25 @@ def convert_state_dict(state_dict: Dict[str, Any], n_layers: int,
                        has_edge_embedding: bool,
                        mode: str = "egnn_dynamics") -> Dict:
     """Reference ``state_dict`` -> flax variables {'params': ...} for
-    EGNNDynamics (plus GammaNetwork params when the schedule is learned)."""
-    sd = {k: v for k, v in state_dict.items()}
+    EGNNDynamics (plus GammaNetwork params when the schedule is learned).
+
+    Every source tensor must be consumed: a conversion-flag/checkpoint
+    mismatch (e.g. flags say reflection_equiv=True but the checkpoint
+    carries cross_product_mlp weights) would otherwise silently DROP
+    weights — the template-tree validation can't see keys the template
+    itself lacks — and produce a numerically wrong model with no error.
+    """
+
+    class _Tracking(dict):
+        def __init__(self, base):
+            super().__init__(base)
+            self.consumed = set()
+
+        def __getitem__(self, key):
+            self.consumed.add(key)
+            return super().__getitem__(key)
+
+    sd = _Tracking(state_dict)
     dp: Dict[str, Any] = {}
 
     for name in ("atom_encoder", "atom_decoder", "residue_encoder",
@@ -147,6 +164,24 @@ def convert_state_dict(state_dict: Dict[str, Any], n_layers: int,
             "gamma_0": _v(sd["ddpm.gamma.gamma_0"]),
             "gamma_1": _v(sd["ddpm.gamma.gamma_1"]),
         }}
+
+    def _expected_leftover(key: str) -> bool:
+        # ddpm.gamma.gamma: PredefinedNoiseSchedule's precomputed table
+        # buffer (we rebuild it from the config and verify separately);
+        # cross_product_mlp.4.weight: the torch layout aliases the TIED
+        # head tensor under both coord_mlp and cross_product_mlp, and the
+        # conversion reads it from coord_mlp only
+        return key == "ddpm.gamma.gamma" \
+            or key.endswith("cross_product_mlp.4.weight")
+
+    leftover = sorted(k for k in sd
+                      if k not in sd.consumed and not _expected_leftover(k))
+    if leftover:
+        shown = ", ".join(leftover[:10])
+        raise ValueError(
+            f"{len(leftover)} checkpoint tensors were not consumed by the "
+            f"conversion (flag/checkpoint mismatch? e.g. attention/"
+            f"reflection_equivariant/inv_sublayers): {shown}")
     return params
 
 

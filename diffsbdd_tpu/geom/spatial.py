@@ -23,7 +23,14 @@ def _spread_bits(v: np.ndarray) -> np.ndarray:
 
 
 def morton_codes(coords: np.ndarray, bits: int = 10) -> np.ndarray:
-    """Z-order curve codes for (N, 3) coordinates."""
+    """Z-order curve codes for (N, 3) coordinates.
+
+    ``bits`` is capped at 10 by ``_spread_bits``' interleave masks; a larger
+    request would silently discard the high quantization bits and scramble
+    the ordering."""
+    if bits > 10:
+        raise ValueError(f"bits={bits} unsupported: _spread_bits interleaves "
+                         f"at most 10 bits per axis")
     coords = np.asarray(coords, np.float64)
     lo = coords.min(0)
     span = np.maximum(coords.max(0) - lo, 1e-9)

@@ -19,6 +19,13 @@ def make_mesh(n_data: int = -1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
         n_data = len(devices)
+    if n_data > len(devices):
+        # silently truncating would desync callers that sized their batch
+        # against the requested mesh (opaque shard errors, or training at a
+        # fraction of the expected parallelism with no warning)
+        raise ValueError(
+            f"requested a {n_data}-device data mesh but only "
+            f"{len(devices)} devices are visible")
     return Mesh(np.asarray(devices[:n_data]), ("data",))
 
 
@@ -71,7 +78,6 @@ def maybe_initialize_distributed(cfg=None) -> int:
     # jax.process_count()) before initialize() — it must run first, or it
     # raises and the pod would silently train as disconnected single-process
     # replicas.  Skip only if distributed state is already up.
-    from jax._src.distributed import global_state
-    if want and global_state.client is None:
+    if want and not jax.distributed.is_initialized():
         jax.distributed.initialize()
     return jax.process_count()

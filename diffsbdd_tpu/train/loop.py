@@ -370,16 +370,15 @@ class Trainer:
                 val_loss = float(np.mean(val_losses))
                 self.log({"loss": val_loss}, "val", step)
                 if self.is_main_process:
-                    cfg_dict = self.cfg.to_dict()
-                    cfg_dict["node_histogram"] = np.asarray(
-                        self.module.ddpm.size_distribution
-                        .raw_histogram).tolist()
-                    save_checkpoint(self.ckpt_dir, state, cfg_dict,
-                                    name="last")
+                    # save_model owns the sidecar format (incl. the
+                    # raw-vs-smoothed histogram rule) — don't re-implement
+                    from diffsbdd_tpu.checkpoint import save_model
+                    save_model(self.ckpt_dir, self.module, state, self.cfg,
+                               name="last")
                     if val_loss < self.best_val:
                         self.best_val = val_loss
-                        save_checkpoint(self.ckpt_dir, state, cfg_dict,
-                                        name="best")
+                        save_model(self.ckpt_dir, self.module, state,
+                                   self.cfg, name="best")
 
             # periodic sampling-quality eval + visualization
             # (lightning_modules.py:382-410); rank 0 only, as in the

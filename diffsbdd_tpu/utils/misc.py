@@ -59,12 +59,14 @@ def calc_rmsd(mol_a: SimpleMol, mol_b: SimpleMol) -> Optional[float]:
         mol_to_nxgraph(mol_a), mol_to_nxgraph(mol_b),
         node_match=lambda na, nb: na["atom_type"] == nb["atom_type"])
 
+    # loop-invariant: symmetric molecules enumerate MANY automorphisms
+    coords_a = np.asarray(mol_a.coords)
+    coords_b_all = np.asarray(mol_b.coords)
     best = None
     for mapping in gm.isomorphisms_iter():
-        coords_a = np.asarray(mol_a.coords)
-        coords_b = np.asarray(
-            [mol_b.coords[mapping[i]] for i in range(mol_a.n_atoms)])
-        diff = coords_a - coords_b
+        perm = np.fromiter((mapping[i] for i in range(mol_a.n_atoms)),
+                           dtype=np.int64, count=mol_a.n_atoms)
+        diff = coords_a - coords_b_all[perm]
         rmsd = float(np.sqrt(np.mean(np.sum(diff * diff, axis=1))))
         best = rmsd if best is None else min(best, rmsd)
     return best

@@ -28,16 +28,18 @@ extern "C" {
 // out_x:    (batch, n_max, 3)  out_oh: (batch, n_max, nf)
 // out_mask: (batch, n_max)     out_size: (batch,)
 // Returns 0 on success, -1 if any complex exceeds n_max.
-int pad_collate(const float* coords, const float* one_hot,
-                const int64_t* offsets, int64_t batch, int64_t n_max,
-                int64_t nf, float* out_x, float* out_oh, float* out_mask,
-                int32_t* out_size) {
+static int pad_collate_impl(const float* coords, const float* one_hot,
+                            const int64_t* offsets, const int64_t* indices,
+                            int64_t batch, int64_t n_max, int64_t nf,
+                            float* out_x, float* out_oh, float* out_mask,
+                            int32_t* out_size) {
   std::memset(out_x, 0, sizeof(float) * batch * n_max * 3);
   std::memset(out_oh, 0, sizeof(float) * batch * n_max * nf);
   std::memset(out_mask, 0, sizeof(float) * batch * n_max);
   for (int64_t b = 0; b < batch; ++b) {
-    const int64_t start = offsets[b];
-    const int64_t n = offsets[b + 1] - start;
+    const int64_t c = indices ? indices[b] : b;
+    const int64_t start = offsets[c];
+    const int64_t n = offsets[c + 1] - start;
     if (n > n_max) return -1;
     std::memcpy(out_x + b * n_max * 3, coords + start * 3,
                 sizeof(float) * n * 3);
@@ -47,6 +49,14 @@ int pad_collate(const float* coords, const float* one_hot,
     out_size[b] = static_cast<int32_t>(n);
   }
   return 0;
+}
+
+int pad_collate(const float* coords, const float* one_hot,
+                const int64_t* offsets, int64_t batch, int64_t n_max,
+                int64_t nf, float* out_x, float* out_oh, float* out_mask,
+                int32_t* out_size) {
+  return pad_collate_impl(coords, one_hot, offsets, nullptr, batch, n_max,
+                          nf, out_x, out_oh, out_mask, out_size);
 }
 
 // EDM bond perception: for every unordered atom pair (i > j), assign the
@@ -97,22 +107,8 @@ int pad_collate_gather(const float* coords, const float* one_hot,
                        const int64_t* offsets, const int64_t* indices,
                        int64_t batch, int64_t n_max, int64_t nf, float* out_x,
                        float* out_oh, float* out_mask, int32_t* out_size) {
-  std::memset(out_x, 0, sizeof(float) * batch * n_max * 3);
-  std::memset(out_oh, 0, sizeof(float) * batch * n_max * nf);
-  std::memset(out_mask, 0, sizeof(float) * batch * n_max);
-  for (int64_t b = 0; b < batch; ++b) {
-    const int64_t c = indices[b];
-    const int64_t start = offsets[c];
-    const int64_t n = offsets[c + 1] - start;
-    if (n > n_max) return -1;
-    std::memcpy(out_x + b * n_max * 3, coords + start * 3,
-                sizeof(float) * n * 3);
-    std::memcpy(out_oh + b * n_max * nf, one_hot + start * nf,
-                sizeof(float) * n * nf);
-    for (int64_t i = 0; i < n; ++i) out_mask[b * n_max + i] = 1.0f;
-    out_size[b] = static_cast<int32_t>(n);
-  }
-  return 0;
+  return pad_collate_impl(coords, one_hot, offsets, indices, batch, n_max,
+                          nf, out_x, out_oh, out_mask, out_size);
 }
 
 }  // extern "C"

@@ -101,6 +101,10 @@ def main():
                    help="matmul precision (default: float32_x2 on tpu)")
     p.add_argument("--tiny", action="store_true",
                    help="small model + short T for a CPU smoke run")
+    p.add_argument("--hidden", type=int, default=None,
+                   help="override hidden_nf (CPU-sized runs)")
+    p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--T", type=int, default=None)
     p.add_argument("--n-eval", type=int, default=32)
     p.add_argument("--outdir", type=Path,
                    default=Path("/tmp/diffsbdd_overfit_demo"))
@@ -135,6 +139,13 @@ def main():
     if args.tiny:
         egnn.update(joint_nf=16, hidden_nf=32, n_layers=2)
         T = 20
+    if args.hidden is not None:
+        egnn.update(hidden_nf=args.hidden,
+                    joint_nf=min(egnn["joint_nf"], args.hidden))
+    if args.layers is not None:
+        egnn.update(n_layers=args.layers)
+    if args.T is not None:
+        T = args.T
 
     steps_per_epoch = max(1, 2 * args.replicas // args.batch)
     n_epochs = max(1, -(-args.steps // steps_per_epoch))

@@ -105,6 +105,7 @@ def main():
                    help="override hidden_nf (CPU-sized runs)")
     p.add_argument("--layers", type=int, default=None)
     p.add_argument("--T", type=int, default=None)
+    p.add_argument("--skip-init-eval", action="store_true")
     p.add_argument("--n-eval", type=int, default=32)
     p.add_argument("--outdir", type=Path,
                    default=Path("/tmp/diffsbdd_overfit_demo"))
@@ -125,7 +126,9 @@ def main():
     from diffsbdd_tpu.train.module import build_module_from_config
 
     datadir = args.outdir / "data"
+    print("building dataset...", flush=True)
     hist = build_dataset(datadir, args.replicas)
+    print("dataset ready", flush=True)
 
     impl = args.impl or ("auto" if args.device == "tpu" else "xla")
     precision = args.precision or (
@@ -195,15 +198,22 @@ def main():
     state = create_train_state(params, lr=cfg.lr)
 
     # fresh-init metrics: the bar the trained model has to clear
-    rng, k = jax.random.split(rng)
-    metrics_init = evaluator.sample_and_analyze(
-        state.params, k, args.n_eval,
-        batch_size=cfg.eval_params.eval_batch_size)
-    print("fresh-init metrics:", json.dumps(metrics_init), flush=True)
+    metrics_init = None
+    if not args.skip_init_eval:
+        print("fresh-init eval...", flush=True)
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        metrics_init = evaluator.sample_and_analyze(
+            state.params, k, args.n_eval,
+            batch_size=cfg.eval_params.eval_batch_size)
+        print(f"fresh-init metrics ({time.time()-t0:.0f}s):",
+              json.dumps(metrics_init), flush=True)
 
+    print("training...", flush=True)
     t0 = time.time()
     state, rng = trainer.fit(state, rng, n_epochs=n_epochs, eval_every=1)
     train_s = time.time() - t0
+    print("final eval...", flush=True)
 
     rng, k = jax.random.split(rng)
     metrics = evaluator.sample_and_analyze(

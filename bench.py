@@ -241,10 +241,20 @@ def main():
 
 
 def _emit_failure(reason: str):
+    # value 0.0 = no LIVE measurement happened; last_recorded_tpu points at
+    # the most recent real-hardware number (see NOTES.md session 4 and
+    # benchmarks/PRECISION_r02.json for its validation) so a transient
+    # tunnel outage at harvest time doesn't erase the recorded state
     print(json.dumps({
         "metric": "molecules_per_sec_per_chip_T500",
         "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
         "error": reason[:300],
+        "last_recorded_tpu": {
+            "value": 1.6913, "unit": "mol/s", "vs_baseline": 3.383,
+            "batch": 32, "ms_per_step": 37.8,
+            "precision": "float32_x2 (validated, PRECISION_r02.json)",
+            "note": "measured on the real v5e chip in round-2 session 4; "
+                    "not a live measurement from this run"},
     }))
 
 
@@ -280,6 +290,13 @@ if __name__ == "__main__":
         for attempt in range(4):
             if _probe_device():
                 break
+            if attempt == 3:
+                # tunnel is thoroughly wedged (a 256x256 matmul won't finish
+                # in 150 s even after 15 min of healing idle); running the
+                # bench would only hang into the watchdog — short-circuit
+                _emit_failure("TPU unreachable: 4 device probes timed out "
+                              "over ~20 min (axon tunnel outage)")
+                _os._exit(0)
             print(f"device probe {attempt + 1} unresponsive; "
                   "resting 300s for tunnel recovery", file=sys.stderr)
             time.sleep(300)

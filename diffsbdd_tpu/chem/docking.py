@@ -70,6 +70,44 @@ def smina_score(mols, receptor_file: Union[str, List[str]]) -> List[float]:
     return scores
 
 
+def pdb_to_pdbqt(pdb_file, pdbqt_file, dataset: str = "crossdocked"):
+    """MGLTools receptor prep (reference analysis/docking_py27.py:14-23).
+
+    BindingMOAD receptors get ``-A checkhydrogens -e`` (add missing
+    hydrogens, drop non-standard residues) exactly as the reference's
+    python-2.7 helper does; CrossDocked receptors are converted as-is.
+    Existing outputs are kept (the reference's early-return caching)."""
+    pdbqt_file = Path(pdbqt_file)
+    if pdbqt_file.exists():
+        return pdbqt_file
+    _require("prepare_receptor4.py")
+    cmd = ["prepare_receptor4.py", "-r", str(pdb_file),
+           "-o", str(pdbqt_file)]
+    if dataset in ("bindingmoad", "moad"):
+        cmd += ["-A", "checkhydrogens", "-e"]
+    elif dataset != "crossdocked":
+        raise NotImplementedError(
+            f"unknown dataset '{dataset}' (crossdocked | bindingmoad)")
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0 or not pdbqt_file.exists():
+        raise RuntimeError(
+            f"prepare_receptor4.py failed for {pdb_file} "
+            f"(rc={res.returncode}): {res.stderr[-500:]}")
+    return pdbqt_file
+
+
+def pdbs_to_pdbqts(pdb_dir, pdbqt_dir, dataset: str = "crossdocked"):
+    """Convert every ``*.pdb`` in a directory (docking_py27.py:6-11)."""
+    pdbqt_dir = Path(pdbqt_dir)
+    pdbqt_dir.mkdir(parents=True, exist_ok=True)
+    out = []
+    for f in sorted(Path(pdb_dir).glob("*.pdb")):
+        outfile = pdbqt_dir / (f.stem + ".pdbqt")
+        out.append(pdb_to_pdbqt(f, outfile, dataset))
+        print(f"Wrote converted file to {outfile}")
+    return out
+
+
 def sdf_to_pdbqt(sdf_file, pdbqt_outfile, mol_id: int):
     _require("obabel")
     subprocess.run(
@@ -89,17 +127,9 @@ def calculate_qvina2_score(receptor_file, sdf_file, out_dir, size: int = 20,
     out_dir.mkdir(parents=True, exist_ok=True)
 
     if receptor_file.suffix == ".pdb":
-        receptor_pdbqt = Path(out_dir, receptor_file.stem + ".pdbqt")
-        if not receptor_pdbqt.exists():
-            # MGLTools receptor prep (python 2.7 helper, docking.py:68)
-            _require("prepare_receptor4.py")
-            res = subprocess.run(
-                ["prepare_receptor4.py", "-r", str(receptor_file),
-                 "-O", str(receptor_pdbqt)], capture_output=True, text=True)
-            if res.returncode != 0 or not receptor_pdbqt.exists():
-                raise RuntimeError(
-                    f"prepare_receptor4.py failed for {receptor_file} "
-                    f"(rc={res.returncode}): {res.stderr[-500:]}")
+        # MGLTools receptor prep (python 2.7 helper, docking.py:68)
+        receptor_pdbqt = pdb_to_pdbqt(
+            receptor_file, Path(out_dir, receptor_file.stem + ".pdbqt"))
     else:
         receptor_pdbqt = receptor_file
 

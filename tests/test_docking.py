@@ -133,3 +133,53 @@ def test_missing_binary_raises_clearly(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError, match="qvina2.1"):
         docking.calculate_qvina2_score(tmp_path / "r.pdbqt",
                                        tmp_path / "l.sdf", tmp_path)
+
+
+@pytest.fixture
+def stub_prep(tmp_path, monkeypatch):
+    """prepare_receptor4.py stand-in: logs argv, writes the -o output."""
+    bindir = tmp_path / "prep_bin"
+    bindir.mkdir()
+    p = bindir / "prepare_receptor4.py"
+    p.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, pathlib\n"
+        "args = sys.argv[1:]\n"
+        "log = pathlib.Path(__file__).parent / 'prep_calls.txt'\n"
+        "log.open('a').write(' '.join(args) + '\\n')\n"
+        "out = args[args.index('-o') + 1]\n"
+        "pathlib.Path(out).write_text('REMARK receptor stub\\n')\n")
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+    return bindir
+
+
+def test_pdbs_to_pdbqts_batch_and_flags(stub_prep, tmp_path):
+    """Batch receptor prep mirrors docking_py27.py: one call per *.pdb,
+    MOAD gets '-A checkhydrogens -e', crossdocked doesn't, and existing
+    outputs are not regenerated."""
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    for name in ("recA", "recB"):
+        (pdb_dir / f"{name}.pdb").write_text("ATOM\nEND\n")
+
+    out_cd = tmp_path / "qt_cd"
+    res = docking.pdbs_to_pdbqts(pdb_dir, out_cd, dataset="crossdocked")
+    assert [p.name for p in res] == ["recA.pdbqt", "recB.pdbqt"]
+    assert all(p.exists() for p in res)
+
+    out_moad = tmp_path / "qt_moad"
+    docking.pdbs_to_pdbqts(pdb_dir, out_moad, dataset="bindingmoad")
+
+    calls = (stub_prep / "prep_calls.txt").read_text().splitlines()
+    assert len(calls) == 4
+    assert all("checkhydrogens" not in c for c in calls[:2])
+    assert all("-A checkhydrogens -e" in c for c in calls[2:])
+
+    # caching: a second run with outputs present must not call the binary
+    docking.pdbs_to_pdbqts(pdb_dir, out_cd, dataset="crossdocked")
+    assert len((stub_prep / "prep_calls.txt").read_text().splitlines()) == 4
+
+    with pytest.raises(NotImplementedError):
+        docking.pdb_to_pdbqt(pdb_dir / "recA.pdb", tmp_path / "x.pdbqt",
+                             dataset="nope")

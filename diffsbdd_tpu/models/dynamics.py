@@ -59,13 +59,41 @@ def build_adjacency(
     return jnp.concatenate([top, bottom], axis=1)
 
 
-def _type_edge_attr(is_lig, type_table):
+def _type_edge_attr(is_lig, type_table, is_lig_cols=None):
     """Dense (B, N, N, F) edge-type embedding: 0=cross, 1=lig-lig,
-    2=pkt-pkt (dynamics.py:116-121 edge-type channel)."""
-    both_lig = is_lig[:, :, None] * is_lig[:, None, :]
-    both_pkt = (1 - is_lig[:, :, None]) * (1 - is_lig[:, None, :])
+    2=pkt-pkt (dynamics.py:116-121 edge-type channel).  ``is_lig_cols``
+    restricts the column axis to this shard's block (edge-axis sharding)."""
+    ilc = is_lig if is_lig_cols is None else is_lig_cols
+    both_lig = is_lig[:, :, None] * ilc[:, None, :]
+    both_pkt = (1 - is_lig[:, :, None]) * (1 - ilc[:, None, :])
     edge_type = (both_lig + 2 * both_pkt).astype(jnp.int32)
     return type_table[edge_type]
+
+
+def _col_adjacency(x, mask, is_lig, cutoffs, shard_ctx):
+    """This shard's (B, N, Nc) column block of ``build_adjacency``'s output,
+    built directly from the concatenated node set so per-shard pairwise
+    memory stays O(N^2 / n_shards) (see parallel/edge_shard.py).
+
+    Equivalent to ``build_adjacency(...)[:, :, off:off+width]`` — asserted by
+    tests/test_edge_shard.py — but never materializes the full (B, N, N)."""
+    from diffsbdd_tpu.models.egnn import shard_col_slice
+
+    cutoff_ligand, cutoff_pocket, cutoff_interaction = cutoffs
+    x_cols = shard_col_slice(x, shard_ctx, 1)
+    mask_cols = shard_col_slice(mask, shard_ctx, 1)
+    il_cols = shard_col_slice(is_lig, shard_ctx, 1)
+
+    d2 = jnp.sum((x[:, :, None, :] - x_cols[:, None, :, :]) ** 2, axis=-1)
+    inf = jnp.inf
+    c_ll = (cutoff_ligand if cutoff_ligand is not None else inf) ** 2
+    c_pp = (cutoff_pocket if cutoff_pocket is not None else inf) ** 2
+    c_lp = (cutoff_interaction if cutoff_interaction is not None else inf) ** 2
+    both_lig = is_lig[:, :, None] * il_cols[:, None, :]
+    both_pkt = (1 - is_lig[:, :, None]) * (1 - il_cols[:, None, :])
+    cut2 = jnp.where(both_lig > 0, c_ll, jnp.where(both_pkt > 0, c_pp, c_lp))
+    adj = mask[:, :, None] * mask_cols[:, None, :]
+    return adj * (d2 <= cut2).astype(adj.dtype), il_cols
 
 
 class _EncoderMLP(nn.Module):
@@ -135,7 +163,8 @@ class EGNNDynamics(nn.Module):
 
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                 shared_pocket: bool = False, zero_nan: bool = False):
+                 shared_pocket: bool = False, zero_nan: bool = False,
+                 shard_ctx=None):
         # 'float32_x3': exact f32 for the XLA glue, 3-pass bf16-split dots
         # inside the Pallas kernels (fp32-grade except extreme cancellation,
         # half the MXU passes of HIGHEST); 'float32_x2' drops one more pass
@@ -145,10 +174,11 @@ class EGNNDynamics(nn.Module):
             self.matmul_precision, self.matmul_precision)
         with jax.default_matmul_precision(ambient):
             return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                                 shared_pocket, zero_nan)
+                                 shared_pocket, zero_nan, shard_ctx)
 
     def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                 shared_pocket: bool = False, zero_nan: bool = False):
+                 shared_pocket: bool = False, zero_nan: bool = False,
+                 shard_ctx=None):
         B, NL = mask_lig.shape
         NP = mask_pkt.shape[1]
         nd = self.n_dims
@@ -171,6 +201,15 @@ class EGNNDynamics(nn.Module):
             h = jnp.concatenate([h, h_time], axis=-1)
 
         impl = self._resolve_impl()
+        if shard_ctx is not None:
+            # edge-axis sharding (parallel/edge_shard.py): each mesh shard
+            # computes its column block of the O(N^2) pairwise work with the
+            # dense XLA path and a psum completes every aggregation; the
+            # fused Pallas kernels are single-device
+            impl = "xla"
+            if self.mode != "egnn_dynamics":
+                raise NotImplementedError(
+                    "edge-axis sharding supports egnn_dynamics only")
         cutoffs = (self.edge_cutoff_ligand, self.edge_cutoff_pocket,
                    self.edge_cutoff_interaction)
 

@@ -60,27 +60,52 @@ def sinusoidal_distance_embedding(radial: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.stop_gradient(jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1))
 
 
-def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0):
+def shard_col_slice(a: jnp.ndarray, shard_ctx, axis: int) -> jnp.ndarray:
+    """This shard's column block of a pairwise-axis array.
+
+    ``shard_ctx = {"axis": mesh-axis name, "index": lax.axis_index(axis),
+    "width": N // mesh.shape[axis]}`` — see parallel/edge_shard.py.  Offsets
+    are traced values, hence dynamic_slice."""
+    if shard_ctx is None:
+        return a
+    off = shard_ctx["index"] * shard_ctx["width"]
+    return jax.lax.dynamic_slice_in_dim(a, off, shard_ctx["width"], axis)
+
+
+def _psum_cols(agg: jnp.ndarray, shard_ctx) -> jnp.ndarray:
+    """Complete a column-sharded row-sum aggregation across the mesh axis."""
+    if shard_ctx is None:
+        return agg
+    return jax.lax.psum(agg, shard_ctx["axis"])
+
+
+def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0, x_cols=None):
     """Pairwise squared distances and normalized difference vectors.
 
     x: (B, N, 3) -> radial (B, N, N, 1), coord_diff (B, N, N, 3) where
     coord_diff[b, i, j] = (x_i - x_j) / (|x_i - x_j| + norm_constant).
+    With ``x_cols`` (B, Nc, 3) — this shard's column block under edge-axis
+    sharding — the pairwise axis j spans only those Nc columns.
     """
-    diff = x[:, :, None, :] - x[:, None, :, :]
+    diff = x[:, :, None, :] - (x if x_cols is None else x_cols)[:, None, :, :]
     radial = jnp.sum(diff**2, axis=-1, keepdims=True)
     norm = jnp.sqrt(radial + 1e-8)
     return radial, diff / (norm + norm_constant)
 
 
-def coord2cross(x: jnp.ndarray, node_mask: jnp.ndarray, norm_constant: float = 1.0):
+def coord2cross(x: jnp.ndarray, node_mask: jnp.ndarray, norm_constant: float = 1.0,
+                x_cols=None):
     """Pairwise normalized cross products about the per-graph CoM
-    (egnn_new.py:305-316 with the masked-mean replacing scatter-mean)."""
+    (egnn_new.py:305-316 with the masked-mean replacing scatter-mean).
+    The CoM is always over the FULL node set; ``x_cols`` restricts only the
+    pairwise column axis (edge-axis sharding)."""
     count = jnp.maximum(jnp.sum(node_mask, axis=1, keepdims=True), 1e-12)
     mean = jnp.sum(x * node_mask[..., None], axis=1, keepdims=True) / count[..., None]
     xc = x - mean
+    xc_cols = xc if x_cols is None else x_cols - mean
     cross = jnp.cross(
-        jnp.broadcast_to(xc[:, :, None, :], xc.shape[:1] + (xc.shape[1], xc.shape[1], 3)),
-        jnp.broadcast_to(xc[:, None, :, :], xc.shape[:1] + (xc.shape[1], xc.shape[1], 3)),
+        jnp.broadcast_to(xc[:, :, None, :], xc.shape[:1] + (xc.shape[1], xc_cols.shape[1], 3)),
+        jnp.broadcast_to(xc_cols[:, None, :, :], xc.shape[:1] + (xc.shape[1], xc_cols.shape[1], 3)),
     )
     # sqrt(.+1e-8) instead of linalg.norm: the cross product is exactly zero
     # on the diagonal (and for coincident padded nodes), where the norm's
@@ -114,17 +139,19 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
-def _split_pair_dense(kernel, bias, h, edge_feat, node_dim):
+def _split_pair_dense(kernel, bias, h, edge_feat, node_dim, shard_ctx=None):
     """First layer of a pairwise MLP via the split-kernel trick.
 
     kernel: (2*node_dim + E, F); returns (B, N, N, F) pre-activation for input
-    concat([h_i, h_j, edge_feat]).
+    concat([h_i, h_j, edge_feat]).  Under edge-axis sharding the column (j)
+    projection is sliced to this shard's block: the node-level matmul is
+    cheap, only the O(N^2) pairwise broadcast is sharded.
     """
     w_i = kernel[:node_dim]
     w_j = kernel[node_dim:2 * node_dim]
     w_e = kernel[2 * node_dim:]
     a_i = h @ w_i  # (B, N, F)
-    a_j = h @ w_j
+    a_j = shard_col_slice(h @ w_j, shard_ctx, 1)
     pre = a_i[:, :, None, :] + a_j[:, None, :, :]
     pre = pre + jnp.einsum("bije,ef->bijf", edge_feat, w_e)
     return pre + bias
@@ -184,7 +211,8 @@ class DenseGCL(nn.Module):
         upd = self.node_mlp_2(jax.nn.silu(self.node_mlp_0(inp)))
         return (h + upd) * node_mask[..., None]
 
-    def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None):
+    def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None,
+                 shard_ctx=None):
         B, N, H = h.shape
         k1 = self.edge_mlp_0_kernel
         b1 = self.edge_mlp_0_bias
@@ -196,6 +224,8 @@ class DenseGCL(nn.Module):
 
         if fused_ctx is not None and self.impl == "pallas":
             assert self.aggregation_method == "sum"
+            assert shard_ctx is None, \
+                "edge-axis sharding uses the dense XLA path per shard"
             a_row, a_col, w_d2, w_d20, w_types = _split_first_layer(k1, b1, h)
             tb = _type_bias_table(fused_ctx["type_table"], w_types)
             kw = dict(
@@ -246,22 +276,23 @@ class DenseGCL(nn.Module):
             # tensors; accumulation back to f32 happens in the reduction
             mij = jax.nn.silu(_split_pair_dense(
                 k1.astype(cd), b1.astype(cd), h.astype(cd),
-                edge_feat.astype(cd), H))
+                edge_feat.astype(cd), H, shard_ctx))
             mij = jax.nn.silu(mij @ k2.astype(cd) + b2.astype(cd))
             out = mij
             if self.attention:
                 out = mij * jax.nn.sigmoid(
                     mij @ k_att.astype(cd) + b_att.astype(cd))
             adj_c = adj.astype(cd)
+            num = jnp.einsum("bijh,bij->bih", out, adj_c,
+                             preferred_element_type=jnp.float32)
+            # under edge-axis sharding adj/edge_feat hold this shard's column
+            # block; the psum over the mesh axis completes the row sum
+            num = _psum_cols(num, shard_ctx)
             if self.aggregation_method == "sum":
-                agg = jnp.einsum("bijh,bij->bih", out, adj_c,
-                                 preferred_element_type=jnp.float32) \
-                    / self.normalization_factor
+                agg = num / self.normalization_factor
             elif self.aggregation_method == "mean":
-                denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
-                agg = jnp.einsum("bijh,bij->bih", out, adj_c,
-                                 preferred_element_type=jnp.float32) \
-                    / denom[..., None]
+                denom = _psum_cols(jnp.sum(adj, axis=2), shard_ctx)
+                agg = num / jnp.maximum(denom, 1.0)[..., None]
             else:
                 raise ValueError(self.aggregation_method)
             agg = agg.astype(h.dtype)
@@ -316,12 +347,12 @@ class _CoordMLP(nn.Module):
             k2, _ = self.lin2()
         return self.lin0_kernel, self.lin0_bias, k1, b1, k2
 
-    def __call__(self, h, edge_feat, shared_head=None):
+    def __call__(self, h, edge_feat, shared_head=None, shard_ctx=None):
         cd = self.compute_dtype
         _, _, k1, b1, k2 = self.weights(shared_head)
         z = jax.nn.silu(_split_pair_dense(
             self.lin0_kernel.astype(cd), self.lin0_bias.astype(cd),
-            h.astype(cd), edge_feat.astype(cd), h.shape[-1]))
+            h.astype(cd), edge_feat.astype(cd), h.shape[-1], shard_ctx))
         z = jax.nn.silu(z @ k1.astype(cd) + b1.astype(cd))
         return (z @ k2.astype(cd)).astype(jnp.float32)  # (B, N, N, 1)
 
@@ -355,16 +386,21 @@ class DenseEquivariantUpdate(nn.Module):
                 name="cross_product_mlp")
 
     def __call__(self, h, coord, coord_diff, coord_cross, edge_feat, adj,
-                 node_mask, update_coords_mask=None, fused_ctx=None):
+                 node_mask, update_coords_mask=None, fused_ctx=None,
+                 shard_ctx=None):
         if fused_ctx is not None and self.impl == "pallas":
+            assert shard_ctx is None, \
+                "edge-axis sharding uses the dense XLA path per shard"
             agg = self._fused_agg(h, fused_ctx)
         else:
-            agg = self._dense_agg(h, coord_diff, coord_cross, edge_feat, adj)
+            agg = self._dense_agg(h, coord_diff, coord_cross, edge_feat, adj,
+                                  shard_ctx)
 
         return self.apply_update(coord, agg, node_mask, update_coords_mask)
 
-    def _dense_agg(self, h, coord_diff, coord_cross, edge_feat, adj):
-        phi = self.coord_mlp(h, edge_feat)
+    def _dense_agg(self, h, coord_diff, coord_cross, edge_feat, adj,
+                   shard_ctx=None):
+        phi = self.coord_mlp(h, edge_feat, shard_ctx=shard_ctx)
         if self.tanh:
             trans = coord_diff * jnp.tanh(phi) * self.coords_range
         else:
@@ -373,17 +409,19 @@ class DenseEquivariantUpdate(nn.Module):
         if not self.reflection_equiv:
             shared_k2, _ = self.coord_mlp.lin2()
             phi_cross = self.cross_product_mlp(h, edge_feat,
-                                               shared_head=shared_k2)
+                                               shared_head=shared_k2,
+                                               shard_ctx=shard_ctx)
             if self.tanh:
                 phi_cross = jnp.tanh(phi_cross) * self.coords_range
             trans = trans + coord_cross * phi_cross
 
         trans = trans * adj[..., None]
+        num = _psum_cols(jnp.sum(trans, axis=2), shard_ctx)
         if self.aggregation_method == "sum":
-            return jnp.sum(trans, axis=2) / self.normalization_factor
+            return num / self.normalization_factor
         if self.aggregation_method == "mean":
-            denom = jnp.maximum(jnp.sum(adj, axis=2), 1.0)
-            return jnp.sum(trans, axis=2) / denom[..., None]
+            denom = _psum_cols(jnp.sum(adj, axis=2), shard_ctx)
+            return num / jnp.maximum(denom, 1.0)[..., None]
         raise ValueError(self.aggregation_method)
 
     def apply_update(self, coord, agg, node_mask, update_coords_mask=None):
@@ -449,7 +487,7 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr, update_coords_mask=None,
-                 fused_ctx=None):
+                 fused_ctx=None, shard_ctx=None):
         use_fused = fused_ctx is not None and self.impl == "pallas"
         gcls = [DenseGCL(self.hidden_nf, self.edge_feat_nf,
                          node_nf=self.hidden_nf,
@@ -479,9 +517,13 @@ class EquivariantBlock(nn.Module):
             coord_diff = coord_cross = None
         else:
             ctx = None
-            radial, coord_diff = coord2diff(x, self.norm_constant)
+            # under edge-axis sharding the pairwise j axis is this shard's
+            # column block; x/h/masks stay full (replicated across the axis)
+            x_cols = shard_col_slice(x, shard_ctx, 1) \
+                if shard_ctx is not None else None
+            radial, coord_diff = coord2diff(x, self.norm_constant, x_cols)
             coord_cross = None if self.reflection_equiv else coord2cross(
-                x, node_mask, self.norm_constant)
+                x, node_mask, self.norm_constant, x_cols)
             dist_feat = sinusoidal_distance_embedding(radial) \
                 if self.sin_embedding else radial
             edge_feat = jnp.concatenate([dist_feat, edge_attr], axis=-1)
@@ -493,9 +535,10 @@ class EquivariantBlock(nn.Module):
                     # the batch-invariant pocket factorization only holds for
                     # the very first GCL (pocket h diverges per sample after)
                     ctx["shared_pocket_first_layer"] = False
-            h = gcls[i](h, edge_feat, adj, node_mask, fused_ctx=ctx)
+            h = gcls[i](h, edge_feat, adj, node_mask, fused_ctx=ctx,
+                        shard_ctx=shard_ctx)
         x = equiv(h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
-                  update_coords_mask, fused_ctx=ctx)
+                  update_coords_mask, fused_ctx=ctx, shard_ctx=shard_ctx)
         return h * node_mask[..., None], x
 
 
@@ -526,7 +569,7 @@ class EGNN(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr=None,
-                 update_coords_mask=None, fused_ctx=None):
+                 update_coords_mask=None, fused_ctx=None, shard_ctx=None):
         dist_dim = sin_embedding_dim() if self.sin_embedding else 1
         edge_feat_nf = 2 * dist_dim + self.in_edge_nf
         # Reference passes the FULL coords_range to every block
@@ -543,7 +586,11 @@ class EGNN(nn.Module):
             edge_feat0 = None
         else:
             ctx = None
-            radial, _ = coord2diff(x)
+            # edge_attr (when provided by the caller) must already be
+            # column-sliced under edge-axis sharding, matching adj
+            x_cols = shard_col_slice(x, shard_ctx, 1) \
+                if shard_ctx is not None else None
+            radial, _ = coord2diff(x, x_cols=x_cols)
             edge_feat0 = sinusoidal_distance_embedding(radial) \
                 if self.sin_embedding else radial
             if edge_attr is not None:
@@ -567,7 +614,7 @@ class EGNN(nn.Module):
                 interpret=self.interpret, compute_dtype=self.compute_dtype,
                 name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_feat0, update_coords_mask,
-                fused_ctx=blk_ctx)
+                fused_ctx=blk_ctx, shard_ctx=shard_ctx)
 
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None], x

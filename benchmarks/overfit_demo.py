@@ -107,12 +107,17 @@ def main():
     p.add_argument("--T", type=int, default=None)
     p.add_argument("--skip-init-eval", action="store_true")
     p.add_argument("--n-eval", type=int, default=32)
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="val-loss pass every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the run's last checkpoint (chunked "
+                        "long runs; --steps is the TOTAL step target)")
     p.add_argument("--outdir", type=Path,
                    default=Path("/tmp/diffsbdd_overfit_demo"))
     p.add_argument("--tag", default=None)
     args = p.parse_args()
     if args.tag is None:
-        args.tag = "smoke" if args.tiny else "r02"
+        args.tag = "smoke" if args.tiny else "r03"
 
     if args.device == "cpu":
         import jax
@@ -197,9 +202,23 @@ def main():
     params = module.init_params(init_rng, batch_size=2)
     state = create_train_state(params, lr=cfg.lr)
 
+    resumed_from = 0
+    if args.resume:
+        from diffsbdd_tpu.train.loop import restore_checkpoint
+        ckpt_dir = Path(cfg.logdir) / cfg.run_name / "checkpoints"
+        state, _ = restore_checkpoint(ckpt_dir, state, name="last")
+        resumed_from = int(state.step)
+        # distinct noise stream per chunk
+        rng = jax.random.fold_in(rng, resumed_from)
+        print(f"resumed from step {resumed_from}", flush=True)
+        remaining = args.steps - resumed_from
+        if remaining <= 0:
+            print("step target already reached", flush=True)
+        n_epochs = max(0, -(-remaining // steps_per_epoch))
+
     # fresh-init metrics: the bar the trained model has to clear
     metrics_init = None
-    if not args.skip_init_eval:
+    if not args.skip_init_eval and not args.resume:
         print("fresh-init eval...", flush=True)
         rng, k = jax.random.split(rng)
         t0 = time.time()
@@ -211,7 +230,8 @@ def main():
 
     print("training...", flush=True)
     t0 = time.time()
-    state, rng = trainer.fit(state, rng, n_epochs=n_epochs, eval_every=1)
+    state, rng = trainer.fit(state, rng, n_epochs=n_epochs,
+                             eval_every=args.eval_every)
     train_s = time.time() - t0
     print("final eval...", flush=True)
 
@@ -228,14 +248,20 @@ def main():
         "device": args.device, "impl": impl, "precision": precision,
         "model": {k: egnn[k] for k in ("joint_nf", "hidden_nf", "n_layers")},
         "T": T, "steps": int(state.step), "batch": args.batch,
+        "resumed_from": resumed_from,
         "lr": args.lr, "train_wall_s": round(train_s, 1),
         "samples_per_sec": round(
-            int(state.step) * args.batch / train_s, 2),
+            (int(state.step) - resumed_from) * args.batch / max(train_s, 1e-9),
+            2),
         "best_val_loss": trainer.best_val,
         "metrics_fresh_init": metrics_init,
         "metrics_trained": metrics,
     }
     out = REPO / "benchmarks" / f"OVERFIT_{args.tag}.json"
+    if metrics_init is None and out.exists():
+        # chunked resume: carry the fresh-init bar from the first chunk
+        prev = json.loads(out.read_text())
+        result["metrics_fresh_init"] = prev.get("metrics_fresh_init")
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))
     print(f"written: {out}", file=sys.stderr)

@@ -68,6 +68,7 @@ def test_split_pair_dense_equals_concat():
     np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+@pytest.mark.quick
 def test_state_dict_roundtrip():
     """params -> reference state_dict -> params is the identity."""
     cfg = tiny_cfg()
@@ -89,14 +90,13 @@ def test_state_dict_roundtrip():
         np.testing.assert_allclose(paths_a[k], paths_b[k], atol=1e-6, err_msg=k)
 
 
-def test_full_lightning_checkpoint_conversion(tmp_path):
-    """Synthetic Lightning ckpt (reference naming) -> converted model that
-    loads and runs a forward pass."""
+def make_lightning_ckpt(tmp_path, cfg, module, params,
+                        name="ref.ckpt"):
+    """Write a synthetic reference-format Lightning checkpoint (the exact
+    tensor naming/layout of /root/reference lightning_modules.py
+    save_hyperparameters + state_dict) from this framework's params."""
     from argparse import Namespace
 
-    cfg = tiny_cfg()
-    module = build_module_from_config(cfg, np.ones((NL + 1, NP + 1)))
-    params = module.init_params(jax.random.PRNGKey(0))
     gamma = np.asarray(module.ddpm.gamma_table.gammas)
     sd_np = export_state_dict(params, attention=True, reflection_equiv=False,
                               gamma_table=gamma)
@@ -129,9 +129,19 @@ def test_full_lightning_checkpoint_conversion(tmp_path):
                                  keep_frames=10),
         "node_histogram": np.ones((NL + 1, NP + 1)).tolist(),
     }
-    ckpt_path = tmp_path / "ref.ckpt"
+    ckpt_path = tmp_path / name
     torch.save({"state_dict": state_dict, "hyper_parameters": hparams},
                ckpt_path)
+    return ckpt_path
+
+
+def test_full_lightning_checkpoint_conversion(tmp_path):
+    """Synthetic Lightning ckpt (reference naming) -> converted model that
+    loads and runs a forward pass."""
+    cfg = tiny_cfg()
+    module = build_module_from_config(cfg, np.ones((NL + 1, NP + 1)))
+    params = module.init_params(jax.random.PRNGKey(0))
+    ckpt_path = make_lightning_ckpt(tmp_path, cfg, module, params)
 
     out_dir = tmp_path / "converted"
     mod2, state2, cfg2 = convert_lightning_checkpoint(ckpt_path, out_dir)
@@ -150,6 +160,40 @@ def test_full_lightning_checkpoint_conversion(tmp_path):
     loss, _ = mod3.loss_fn(state3.params, jax.random.PRNGKey(1), lig, pkt,
                            training=True)
     assert np.isfinite(float(loss))
+
+
+def test_zenodo_day_one_path(tmp_path):
+    """The documented day-one command chain for a published checkpoint:
+
+        python -m diffsbdd_tpu.convert.torch_ckpt <ckpt> --outdir <dir>
+        python -m diffsbdd_tpu.cli.generate_ligands <dir> --pdbfile ...
+
+    driven end-to-end through both CLI mains on a reference-format
+    Lightning ckpt (random-init weights — Zenodo is unreachable offline,
+    generate_ligands.py:39 is the reference semantics being mirrored)."""
+    from pathlib import Path
+
+    pdb = Path("/root/reference/example/3rfm.pdb")
+    if not pdb.exists():
+        pytest.skip("example pdb unavailable")
+
+    cfg = tiny_cfg()
+    module = build_module_from_config(cfg, np.ones((NL + 1, NP + 1)))
+    params = module.init_params(jax.random.PRNGKey(0))
+    ckpt_path = make_lightning_ckpt(tmp_path, cfg, module, params,
+                                    name="crossdocked_fullatom_cond.ckpt")
+
+    out_dir = tmp_path / "converted"
+    from diffsbdd_tpu.convert.torch_ckpt import main as convert_main
+    convert_main([str(ckpt_path), "--outdir", str(out_dir)])
+    assert (out_dir / "best.config.json").exists()
+
+    from diffsbdd_tpu.cli.generate_ligands import main as gen_main
+    outfile = tmp_path / "out.sdf"
+    gen_main([str(out_dir), "--pdbfile", str(pdb), "--ref_ligand", "A:330",
+              "--outfile", str(outfile), "--n_samples", "2",
+              "--num_nodes_lig", "6", "--all_frags"])
+    assert outfile.exists()
 
 
 def test_gamma_mismatch_detected(tmp_path):

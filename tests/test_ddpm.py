@@ -57,6 +57,7 @@ def setup():
     return ligand, pocket, out
 
 
+@pytest.mark.quick
 def test_normalize_roundtrip(setup):
     ligand, pocket, models = setup
     ddpm, _ = models["ConditionalDDPM"]
@@ -69,6 +70,7 @@ def test_normalize_roundtrip(setup):
 
 @pytest.mark.parametrize("name", ["JointDDPM", "ConditionalDDPM",
                                   "SimpleConditionalDDPM"])
+@pytest.mark.quick
 @pytest.mark.parametrize("training", [True, False])
 def test_loss_terms(setup, name, training):
     ligand, pocket, models = setup

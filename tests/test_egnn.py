@@ -45,6 +45,7 @@ def egnn_setup():
     return model, params, (h, x, adj, mask)
 
 
+@pytest.mark.quick
 def test_coord2diff():
     x = jnp.array([[[0.0, 0, 0], [3.0, 4.0, 0]]])
     radial, diff = coord2diff(x, norm_constant=1.0)
@@ -61,6 +62,7 @@ def test_sin_embedding_shape():
     assert e.shape == (1, 4, 4, sin_embedding_dim())
 
 
+@pytest.mark.quick
 def test_rotation_translation_equivariance(egnn_setup):
     model, params, (h, x, adj, mask) = egnn_setup
     R = random_rotation(jax.random.PRNGKey(7))

@@ -1,10 +1,13 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from diffsbdd_tpu.geom import com
 from diffsbdd_tpu.ops.masked import masked_mean, masked_sum, sum_except_batch
 
+
+pytestmark = pytest.mark.quick
 
 def _rand_batch(key, B=3, NL=7, NP=11):
     k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -31,6 +31,7 @@ def make_inputs(key, with_type_bias=True):
             w2, b2, w_att, b_att)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("cutoffs", [(None, None, None), (None, 5.0, 5.0)])
 @pytest.mark.parametrize("attention", [True, False])
 def test_gcl_agg_matches_xla(cutoffs, attention):
@@ -107,6 +108,7 @@ def coord_inputs(key, with_cross):
     return main, cross, graph_mean
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("with_cross", [False, True])
 @pytest.mark.parametrize("tanh", [True, False])
 def test_coord_agg_matches_xla(with_cross, tanh):

@@ -6,6 +6,8 @@ import pytest
 from diffsbdd_tpu.diffusion import schedule as S
 
 
+pytestmark = pytest.mark.quick
+
 def test_polynomial_schedule_closed_form_head():
     """For the polynomial_2 schedule, before clipping kicks in the table obeys
     alpha2(t) = (1-2s) * clip((1-(t/(T+1))^2)^2) + s exactly."""

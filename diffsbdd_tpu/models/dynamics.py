@@ -262,6 +262,15 @@ class EGNNDynamics(nn.Module):
                                  if self.kernel_bwd == "auto"
                                  else self.kernel_bwd,
                                  bwd_sub_j=self.kernel_bwd_sub_j)
+            elif shard_ctx is not None:
+                # edge-axis sharding: this shard owns a column block of the
+                # pairwise axis; adjacency and edge attrs are built directly
+                # as (B, N, Nc) blocks (parallel/edge_shard.py)
+                fused_ctx = None
+                adj, il_cols = _col_adjacency(x, mask, is_lig, cutoffs,
+                                              shard_ctx)
+                if type_table is not None:
+                    edge_attr = _type_edge_attr(is_lig, type_table, il_cols)
             else:
                 fused_ctx = None
                 adj = build_adjacency(x_lig, x_pkt, mask_lig, mask_pkt, *cutoffs)
@@ -284,7 +293,8 @@ class EGNNDynamics(nn.Module):
                 compute_dtype=self.compute_dtype,
                 name="egnn")(
                 h, x, adj, mask, edge_attr=edge_attr,
-                update_coords_mask=update_coords_mask, fused_ctx=fused_ctx)
+                update_coords_mask=update_coords_mask, fused_ctx=fused_ctx,
+                shard_ctx=shard_ctx)
             if impl == "pallas" and h_final.shape[1] != n_orig:
                 h_final = h_final[:, :n_orig]
                 x_final = x_final[:, :n_orig]

@@ -158,6 +158,83 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
     }
 
 
+def _bench_joint_sample(batch, T, n_lig, segment=50, smoke=False):
+    """Joint-model (EnVariationalDiffusion-equivalent) unconditional sample
+    timing — the test.py-style joint workload (en_diffusion.py:580-651)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_module
+    from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
+
+    model_kw = dict(hidden_nf=32, n_layers=2) if smoke else {}
+    _, module = _flagship_module(
+        n_lig_max=n_lig, n_pocket_max=320, T=T,
+        matmul_precision="float32" if smoke else "float32_x2",
+        egnn_impl="xla" if smoke else "pallas", mode="joint", **model_kw)
+    params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
+
+    rng_np = np.random.default_rng(0)
+    n_l, n_p = module.ddpm.size_distribution.sample(batch, rng=rng_np)
+    lig_mask = jnp.asarray(num_nodes_to_mask(np.clip(n_l, 8, n_lig), n_lig))
+    pkt_mask = jnp.asarray(num_nodes_to_mask(np.clip(n_p, 64, 320), 320))
+
+    def run(key):
+        out = module.ddpm.sample_segmented(
+            params, key, (lig_mask, pkt_mask), timesteps=T, segment=segment)
+        return float(jnp.sum(out[0]))
+
+    run(jax.random.PRNGKey(1))  # compile + warm
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    return {"batch": batch, "mol_per_sec": round(batch / dt, 4),
+            "wall_s": round(dt, 2), "ms_per_step": round(dt / T * 1e3, 2)}
+
+
+def _bench_inpaint(module, params, batch, T, n_lig, resamplings=5,
+                   segment=50):
+    """Conditional RePaint inpainting timing (inpaint.py:147-149 workload):
+    T x resamplings net evaluations per molecule."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsbdd_tpu.diffusion.ddpm import num_nodes_to_mask
+
+    pocket = get_pocket(module, batch)
+    # synthetic fixed substructure near the pocket CoM: 6 fixed atoms of a
+    # 20-atom ligand (timing is independent of the fixed-atom geometry)
+    n_nodes = 20
+    lig_mask = jnp.asarray(num_nodes_to_mask(
+        np.full((batch,), n_nodes), n_lig))
+    com = (jnp.sum(pocket["x"] * pocket["mask"][..., None], axis=1)
+           / jnp.sum(pocket["mask"], axis=1)[..., None])
+    rng_np = np.random.default_rng(0)
+    x0 = com[:, None, :] + jnp.asarray(
+        rng_np.standard_normal((batch, n_lig, 3)).astype(np.float32))
+    one_hot = jnp.zeros((batch, n_lig, module.atom_nf)).at[..., 0].set(1.0)
+    ligand = {"x": x0 * lig_mask[..., None],
+              "one_hot": one_hot * lig_mask[..., None],
+              "mask": lig_mask,
+              "size": jnp.full((batch,), n_nodes, jnp.int32)}
+    lig_fixed = (jnp.arange(n_lig)[None, :] < 6).astype(jnp.float32) * lig_mask
+
+    def run(key):
+        out = module.ddpm.inpaint_segmented(
+            params, key, ligand, pocket, lig_fixed,
+            resamplings=resamplings, timesteps=T, center="ligand",
+            segment=segment, shared_pocket=True)
+        return float(jnp.sum(out[0]))
+
+    run(jax.random.PRNGKey(1))  # compile + warm
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    return {"batch": batch, "resamplings": resamplings,
+            "mol_per_sec": round(batch / dt, 4), "wall_s": round(dt, 2),
+            "ms_per_net_eval": round(dt / (T * resamplings) * 1e3, 2)}
+
+
 def main():
     import os
 
@@ -169,14 +246,15 @@ def main():
 
     T = 500
     n_lig = 24
-    batches = (32, 8)
+    batches = (8, 32, 64, 128)
+    repeats = 3
     impl = "pallas"
     # harness smoke mode (CPU-runnable, tiny schedule): validates the bench
     # plumbing without a TPU; the driver runs the full configuration
     smoke = os.environ.get("DIFFSBDD_BENCH_SMOKE") == "1"
     model_kw = {}
     if smoke:
-        T, batches, impl = 10, (4, 2), "xla"
+        T, batches, impl, repeats = 10, (2, 4), "xla", 1
         # plumbing-only validation at a small model: the full-size dense
         # chain runs minutes per step on a single CPU core
         model_kw = dict(hidden_nf=32, n_layers=2)
@@ -200,26 +278,55 @@ def main():
     # skip cutoff-inactive 16-column blocks via SMEM-prefetched activity
     # bits, and in conditional mode the coordinate kernel only computes the
     # ligand row tiles (pocket coordinates are frozen).
+    #
+    # Pocket-size note: prepare_pocket pads the 286-atom pocket to the next
+    # 64-bucket (320); the kernels then pad N = 24 + 320 = 344 to the
+    # 128-multiple 384.  Tighter pocket padding cannot shrink N below 384
+    # for this pocket, and the padded rows are mask-0 blocks the SMEM
+    # activity bits already skip — pocket bucketing is tile-optimal here.
     cfg, module = _flagship_module(n_lig_max=n_lig, n_pocket_max=320, T=T,
                                    matmul_precision="float32_x2",
                                    egnn_impl=impl, **model_kw)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 
-    # secondary (small-batch) point first: the tunnel degrades under
-    # sustained load, and the headline batch recovers during its own
-    # 3-repeat median while the small single-shot point would not
-    try:
-        alt_run = _bench_batch(module, params, batch=batches[1], T=T,
-                               n_lig=n_lig, repeats=1)
-    except Exception as e:  # secondary data point must not sink the bench
-        alt_run = {"batch": batches[1],
-                   "error": f"{type(e).__name__}: {e}"[:200]}
-    if not smoke:
-        time.sleep(30)  # brief rest before the headline measurement
-    main_run = _bench_batch(module, params, batch=batches[0], T=T,
-                            n_lig=n_lig, repeats=3)
+    # batch sweep, ascending so the headline candidates see a warmed cache;
+    # short rests keep the tunnel out of its sustained-load degradation
+    runs = {}
+    for i, b in enumerate(batches):
+        if not smoke and i:
+            time.sleep(20)
+        try:
+            runs[f"b{b}"] = _bench_batch(module, params, batch=b, T=T,
+                                         n_lig=n_lig, repeats=repeats)
+        except Exception as e:  # one failed point must not sink the sweep
+            runs[f"b{b}"] = {"batch": b,
+                             "error": f"{type(e).__name__}: {e}"[:200]}
 
-    mols_per_sec = main_run["mol_per_sec"]
+    ok = {k: r for k, r in runs.items() if "mol_per_sec" in r}
+    if not ok:
+        raise RuntimeError(f"all batch points failed: {runs}")
+    best_key = max(ok, key=lambda k: ok[k]["mol_per_sec"])
+    mols_per_sec = ok[best_key]["mol_per_sec"]
+
+    # secondary reference workloads (single timed run each): joint-model
+    # unconditional sampling and conditional RePaint inpainting
+    workloads = {}
+    try:
+        if not smoke:
+            time.sleep(15)
+        workloads["inpaint_T500_r5"] = _bench_inpaint(
+            module, params, batch=4 if smoke else 8, T=T, n_lig=n_lig,
+            resamplings=2 if smoke else 5)
+    except Exception as e:
+        workloads["inpaint_T500_r5"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        if not smoke:
+            time.sleep(15)
+        workloads["joint_sample_T500"] = _bench_joint_sample(
+            batch=4 if smoke else 8, T=T, n_lig=n_lig, smoke=smoke)
+    except Exception as e:
+        workloads["joint_sample_T500"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "molecules_per_sec_per_chip_T500",
         "value": round(mols_per_sec, 4),
@@ -230,10 +337,11 @@ def main():
         "baseline_note": "A100 baseline 0.5 mol/s = measured single-core CPU "
                          "reference (0.00381 mol/s, BASELINE.json) x assumed "
                          "130x CPU->A100 factor",
-        "runs": {f"b{batches[0]}": {
-                     k: round(v, 4) if isinstance(v, float) else v
-                     for k, v in main_run.items()},
-                 f"b{batches[1]}": alt_run},
+        "headline_batch": ok[best_key]["batch"],
+        "precision": "float32_x2 (chain-validated, PRECISION_r02.json)",
+        "runs": {k: {kk: round(vv, 4) if isinstance(vv, float) else vv
+                     for kk, vv in r.items()} for k, r in runs.items()},
+        "workloads": workloads,
     }
     if smoke:
         result["smoke_mode"] = True
@@ -302,11 +410,11 @@ if __name__ == "__main__":
             time.sleep(300)
 
     def _on_timeout(signum, frame):
-        _emit_failure("watchdog: bench exceeded 1200s (TPU tunnel hang?)")
+        _emit_failure("watchdog: bench exceeded 3000s (TPU tunnel hang?)")
         _os._exit(0)
 
     signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(1200)
+    signal.alarm(3000)
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a parseable record

@@ -108,12 +108,20 @@ class BasicMolecularMetrics:
         return connected, len(connected_keys) / len(valid), connected_keys
 
     def compute_uniqueness(self, connected_keys: List[str]):
-        if len(connected_keys) < 1 or self.dataset_smiles_list is None:
+        """Uniqueness needs only the generated set itself
+        (analysis/metrics.py:95-97) — it must not be gated on the training
+        SMILES list (that gate belongs to novelty alone)."""
+        if len(connected_keys) < 1:
             return [], 0.0
         return (list(set(connected_keys)),
                 len(set(connected_keys)) / len(connected_keys))
 
     def compute_novelty(self, unique: List[str]):
+        """Novelty vs the training SMILES; without that list the reference
+        skips it (analysis/metrics.py:99-101) — reported as the -1.0
+        not-computed sentinel, matching kl_div_residue_types."""
+        if self.dataset_smiles_list is None:
+            return [], -1.0
         if len(unique) < 1:
             return [], 0.0
         novel = [s for s in unique if s not in self.dataset_smiles_list]

@@ -154,6 +154,20 @@ def test_basic_metrics():
     assert novelty == 0.0  # the only unique mol is in the training list
 
 
+def test_uniqueness_without_train_smiles():
+    """Uniqueness must not be gated on the training SMILES list (that gate
+    belongs to novelty, analysis/metrics.py:95-101); without the list
+    novelty reports the -1.0 not-computed sentinel."""
+    coords, types = ethanol_like()
+    good = build_molecule(coords, types, DINFO, use_openbabel=False)
+    metrics = BasicMolecularMetrics(DINFO)  # no dataset_smiles_list
+    (validity, connectivity, uniqueness, novelty), _ = \
+        metrics.evaluate_mols([good, good])
+    assert validity == 1.0 and connectivity == 1.0
+    assert uniqueness == pytest.approx(1 / 2)
+    assert novelty == -1.0
+
+
 def test_molecule_properties_fallbacks():
     coords, types = ethanol_like()
     mol = build_molecule(coords, types, DINFO, use_openbabel=False)

@@ -124,10 +124,15 @@ class DDPMBase:
         return self.gamma_table(t)
 
     def apply_dynamics(self, params, xh_lig, xh_pkt, t, m_l, m_p,
-                       shared_pocket: bool = False, zero_nan: bool = False):
+                       shared_pocket: bool = False, zero_nan: bool = False,
+                       block_fuse: bool = False):
+        # block_fuse: sampling-path-only whole-block kernel fusion
+        # (ops/egnn_block_fused.py); the training loss keeps the split
+        # kernels whose backward runs the fused Pallas gradient kernels
         return self.dynamics.apply(
             params["dynamics"], xh_lig, xh_pkt, t, m_l, m_p,
-            shared_pocket=shared_pocket, zero_nan=zero_nan)
+            shared_pocket=shared_pocket, zero_nan=zero_nan,
+            block_fuse=block_fuse)
 
     def normalize(self, ligand: Optional[Batch] = None, pocket: Optional[Batch] = None):
         """x /= norm_x; one_hot = (one_hot - bias) / norm_h (en_diffusion.py:880-895)."""
@@ -396,7 +401,8 @@ class JointDDPM(DDPMBase):
         sigma_t = self.sigma(gamma_t)[:, None, :]
 
         eps_lig, eps_pkt = self.apply_dynamics(
-            params, z_lig, z_pkt, t_norm, lig_mask, pkt_mask)
+            params, z_lig, z_pkt, t_norm, lig_mask, pkt_mask,
+            block_fuse=True)
 
         coef = (sigma2_tgs / alpha_tgs / sigma_t[:, :, 0])[:, None, :]
         mu_lig = z_lig / alpha_tgs[:, None, :] - coef * eps_lig
@@ -443,7 +449,8 @@ class JointDDPM(DDPMBase):
         gamma_0 = self.gamma(params, t_zeros)
         sigma_x = self.snr(-0.5 * gamma_0)[:, None, :]
         net_lig, net_pkt = self.apply_dynamics(
-            params, z0_lig, z0_pkt, t_zeros, lig_mask, pkt_mask)
+            params, z0_lig, z0_pkt, t_zeros, lig_mask, pkt_mask,
+            block_fuse=True)
 
         alpha_0 = self.alpha(gamma_0)[:, None, :]
         sigma_0 = self.sigma(gamma_0)[:, None, :]
@@ -967,7 +974,8 @@ class ConditionalDDPM(DDPMBase):
         sigma_t = self.sigma(gamma_t)[:, None, :]
 
         eps_lig, _ = self.apply_dynamics(params, z_lig, xh_pkt, t_norm, m_l,
-                                         m_p, shared_pocket=shared_pocket)
+                                         m_p, shared_pocket=shared_pocket,
+                                         block_fuse=True)
         coef = (sigma2_tgs / alpha_tgs / sigma_t[:, :, 0])[:, None, :]
         mu_lig = z_lig / alpha_tgs[:, None, :] - coef * eps_lig
         sigma = sigma_tgs[:, None, :] * sigma_s / sigma_t
@@ -988,7 +996,8 @@ class ConditionalDDPM(DDPMBase):
         t_zeros = jnp.zeros((B, 1))
         gamma_0 = self.gamma(params, t_zeros)
         sigma_x = self.snr(-0.5 * gamma_0)[:, None, :]
-        net_lig, _ = self.apply_dynamics(params, z0_lig, xh_pkt, t_zeros, m_l, m_p)
+        net_lig, _ = self.apply_dynamics(params, z0_lig, xh_pkt, t_zeros,
+                                         m_l, m_p, block_fuse=True)
         alpha_0 = self.alpha(gamma_0)[:, None, :]
         sigma_0 = self.sigma(gamma_0)[:, None, :]
         mu_lig = 1.0 / alpha_0 * (z0_lig - sigma_0 * net_lig)

@@ -164,7 +164,7 @@ class EGNNDynamics(nn.Module):
     @nn.compact
     def __call__(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
                  shared_pocket: bool = False, zero_nan: bool = False,
-                 shard_ctx=None):
+                 shard_ctx=None, block_fuse: bool = False):
         # 'float32_x3': exact f32 for the XLA glue, 3-pass bf16-split dots
         # inside the Pallas kernels (fp32-grade except extreme cancellation,
         # half the MXU passes of HIGHEST); 'float32_x2' drops one more pass
@@ -174,11 +174,12 @@ class EGNNDynamics(nn.Module):
             self.matmul_precision, self.matmul_precision)
         with jax.default_matmul_precision(ambient):
             return self._forward(xh_lig, xh_pkt, t, mask_lig, mask_pkt,
-                                 shared_pocket, zero_nan, shard_ctx)
+                                 shared_pocket, zero_nan, shard_ctx,
+                                 block_fuse)
 
     def _forward(self, xh_lig, xh_pkt, t, mask_lig, mask_pkt,
                  shared_pocket: bool = False, zero_nan: bool = False,
-                 shard_ctx=None):
+                 shard_ctx=None, block_fuse: bool = False):
         B, NL = mask_lig.shape
         NP = mask_pkt.shape[1]
         nd = self.n_dims
@@ -261,7 +262,12 @@ class EGNNDynamics(nn.Module):
                                  bwd_impl="pallas"
                                  if self.kernel_bwd == "auto"
                                  else self.kernel_bwd,
-                                 bwd_sub_j=self.kernel_bwd_sub_j)
+                                 bwd_sub_j=self.kernel_bwd_sub_j,
+                                 # sampling-path block fusion (GCL + node
+                                 # MLP + coord update in one phased
+                                 # pallas_call); training keeps the split
+                                 # kernels with their fused backward
+                                 block_fuse=bool(block_fuse))
             elif shard_ctx is not None:
                 # edge-axis sharding: this shard owns a column block of the
                 # pairwise axis; adjacency and edge attrs are built directly

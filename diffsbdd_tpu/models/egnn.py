@@ -202,14 +202,30 @@ class DenseGCL(nn.Module):
         self.edge_mlp_2 = DenseParams(self.hidden_nf, self.hidden_nf)
         if self.attention:
             self.att_mlp_0 = DenseParams(self.hidden_nf, 1)
-        self.node_mlp_0 = nn.Dense(self.hidden_nf)
-        self.node_mlp_2 = nn.Dense(H)
+        # DenseParams with nn.Dense's tree layout ({kernel, bias}, same
+        # names/shapes/init) so the block-fused kernel can consume the raw
+        # node-MLP weights; checkpoint-compatible with the nn.Dense layout
+        self.node_mlp_0 = DenseParams(H + self.hidden_nf, self.hidden_nf)
+        self.node_mlp_2 = DenseParams(self.hidden_nf, H)
 
     def node_update(self, h, agg, node_mask):
         """Residual node MLP on the aggregated messages."""
+        kn0, bn0 = self.node_mlp_0()
+        kn2, bn2 = self.node_mlp_2()
         inp = jnp.concatenate([h, agg], axis=-1)
-        upd = self.node_mlp_2(jax.nn.silu(self.node_mlp_0(inp)))
+        upd = jax.nn.silu(inp @ kn0 + bn0) @ kn2 + bn2
         return (h + upd) * node_mask[..., None]
+
+    def fused_pieces(self):
+        """Raw weights for the block-fused kernel (ops/egnn_block_fused.py);
+        calling this binds the same parameter set the normal path creates."""
+        k2, b2 = self.edge_mlp_2()
+        k_att, b_att = self.att_mlp_0() if self.attention else (None, None)
+        kn0, bn0 = self.node_mlp_0()
+        kn2, bn2 = self.node_mlp_2()
+        return dict(k1=self.edge_mlp_0_kernel, b1=self.edge_mlp_0_bias,
+                    k2=k2, b2=b2, k_att=k_att, b_att=b_att,
+                    kn0=kn0, bn0=bn0, kn2=kn2, bn2=bn2)
 
     def __call__(self, h, edge_feat, adj, node_mask, fused_ctx=None,
                  shard_ctx=None):
@@ -429,6 +445,27 @@ class DenseEquivariantUpdate(nn.Module):
             agg = agg * update_coords_mask[..., None]
         return (coord + agg) * node_mask[..., None]
 
+    def block_pieces(self, type_table):
+        """Coordinate (and cross) head weights in block-fused-kernel form:
+        the first-layer kernel split into per-node / distance / type rows
+        (the in-kernel equivalent of _split_first_layer + _type_bias_table)."""
+        H = self.node_nf
+        lk0, lb0, lw1, lb1, lw3 = self.coord_mlp.weights()
+        coord = dict(k_i=lk0[:H], k_j=lk0[H:2 * H], b0=lb0,
+                     w_d2=lk0[2 * H], w_d20=lk0[2 * H + 1],
+                     type_bias=_type_bias_table(type_table, lk0[2 * H + 2:]),
+                     w1=lw1, b1=lb1, w3=lw3)
+        cross = None
+        if not self.reflection_equiv:
+            ck0, cb0, cw1, cb1, cw3 = self.cross_product_mlp.weights(
+                shared_head=lw3)
+            cross = dict(k_i=ck0[:H], k_j=ck0[H:2 * H], b0=cb0,
+                         w_d2=ck0[2 * H], w_d20=ck0[2 * H + 1],
+                         type_bias=_type_bias_table(type_table,
+                                                    ck0[2 * H + 2:]),
+                         w1=cw1, b1=cb1, w3=cw3)
+        return coord, cross
+
     def _fused_agg(self, h, ctx):
         assert self.aggregation_method == "sum"
         lk0, lb0, lk1, lb1, lk2 = self.coord_mlp.weights()
@@ -507,12 +544,20 @@ class EquivariantBlock(nn.Module):
             name="gcl_equiv")
 
         if use_fused:
-            # NOTE a whole-block (GCL+coord) mega-kernel is NOT possible:
-            # the coordinate MLP consumes the post-GCL h (egnn_new.py:178
-            # runs gcl_equiv on the h returned by the GCL loop), and that h
-            # depends on the full message aggregation — a global barrier.
+            # A whole-block single-PASS kernel is impossible — the
+            # coordinate MLP consumes the post-GCL h (egnn_new.py:175-178),
+            # which depends on the full message aggregation — but the
+            # phased single-CALL kernel (ops/egnn_block_fused.py) crosses
+            # that barrier with a sequential grid + VMEM scratch.  Used on
+            # the sampling path (block_fuse flag); training keeps the split
+            # kernels with their fused backward.
             ctx = dict(fused_ctx)
             ctx["norm_constant"] = self.norm_constant
+            if (ctx.get("block_fuse") and self.n_layers == 1
+                    and not ctx.get("shared_pocket_first_layer")):
+                return self._block_fused(h, x, node_mask,
+                                         update_coords_mask, ctx,
+                                         gcls[0], equiv)
             edge_feat = None
             coord_diff = coord_cross = None
         else:
@@ -540,6 +585,44 @@ class EquivariantBlock(nn.Module):
         x = equiv(h, x, coord_diff, coord_cross, edge_feat, adj, node_mask,
                   update_coords_mask, fused_ctx=ctx, shard_ctx=shard_ctx)
         return h * node_mask[..., None], x
+
+    def _block_fused(self, h, x, node_mask, update_coords_mask, ctx,
+                     gcl, equiv):
+        """One phased pallas_call for the whole block (GCL + node MLP +
+        coordinate update); see ops/egnn_block_fused.py."""
+        from diffsbdd_tpu.ops.egnn_block_fused import egnn_block_step
+        from diffsbdd_tpu.ops.egnn_pallas import fold_type_bias
+
+        gp = gcl.fused_pieces()
+        a_row, a_col, w_d2, w_d20, w_types = _split_first_layer(
+            gp["k1"], gp["b1"], h)
+        tb = _type_bias_table(ctx["type_table"], w_types)
+        a_row, a_col, type_delta = fold_type_bias(
+            a_row, a_col, ctx["is_lig"], tb)
+        gcl_d = dict(w_d2=w_d2, w_d20=w_d20, type_delta=type_delta,
+                     w2=gp["k2"], b2=gp["b2"], w_att=gp["k_att"],
+                     b_att=gp["b_att"])
+        H = h.shape[-1]
+        node_d = dict(w_h=gp["kn0"][:H], w_a=gp["kn0"][H:], b0=gp["bn0"],
+                      w2=gp["kn2"], b2=gp["bn2"])
+        coord_d, cross_d = equiv.block_pieces(ctx["type_table"])
+        graph_mean = None if cross_d is None \
+            else masked_graph_mean(x, ctx["mask"])
+
+        h_new, dx = egnn_block_step(
+            h, a_row, a_col, x, ctx["x0"], ctx["mask"], ctx["is_lig"],
+            gcl_d, node_d, coord_d, cross_d, graph_mean,
+            cutoffs=ctx["cutoffs"], attention=self.attention,
+            tanh=self.tanh, coords_range=self.coords_range,
+            norm_constant=self.norm_constant,
+            normalization_factor=self.normalization_factor,
+            impl="pallas", update_rows=ctx.get("update_rows"),
+            d2_0=ctx.get("d2_0"), tile_i=ctx["tile_i"],
+            tile_j=ctx["tile_j"], sub_j=ctx.get("sub_j", fused.SUB_J),
+            mxu_precision=ctx.get("mxu_precision", "float32"),
+            interpret=self.interpret)
+        x_new = equiv.apply_update(x, dx, node_mask, update_coords_mask)
+        return h_new * node_mask[..., None], x_new
 
 
 class EGNN(nn.Module):

@@ -172,6 +172,76 @@ def test_dynamics_pallas_matches_xla():
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("update_pocket", [False, True])
+def test_dynamics_block_fused_matches_xla(update_pocket):
+    """block_fuse=True (one phased pallas_call per block) == dense path."""
+    from diffsbdd_tpu.models.dynamics import EGNNDynamics
+
+    key = jax.random.PRNGKey(5)
+    Bd, NL, NP, A, R = 2, 6, 11, 4, 5
+    ks = jax.random.split(key, 5)
+    m_l = jnp.ones((Bd, NL)).at[0, -2:].set(0.0)
+    m_p = jnp.ones((Bd, NP)).at[1, -3:].set(0.0)
+    xh_lig = jax.random.normal(ks[0], (Bd, NL, 3 + A)) * m_l[..., None]
+    xh_pkt = jax.random.normal(ks[1], (Bd, NP, 3 + R)) * m_p[..., None]
+    t = jnp.full((Bd, 1), 0.3)
+
+    common = dict(atom_nf=A, residue_nf=R, joint_nf=8, hidden_nf=16,
+                  n_layers=2, attention=True, tanh=True, inv_sublayers=1,
+                  norm_constant=1.0, update_pocket_coords=update_pocket,
+                  reflection_equivariant=False, edge_embedding_dim=4,
+                  edge_cutoff_pocket=5.0, edge_cutoff_interaction=7.0)
+    dyn_x = EGNNDynamics(**common, impl="xla")
+    dyn_p = EGNNDynamics(**common, impl="pallas", interpret=True,
+                         kernel_tile=8)
+
+    params = dyn_x.init(jax.random.PRNGKey(1), xh_lig, xh_pkt, t, m_l, m_p)
+    e_l_x, e_p_x = dyn_x.apply(params, xh_lig, xh_pkt, t, m_l, m_p)
+    e_l_b, e_p_b = dyn_p.apply(params, xh_lig, xh_pkt, t, m_l, m_p,
+                               block_fuse=True)
+
+    np.testing.assert_allclose(np.asarray(e_l_b), np.asarray(e_l_x),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(e_p_b), np.asarray(e_p_x),
+                               atol=3e-5)
+
+
+def test_dynamics_block_fused_shared_pocket():
+    """shared_pocket + block_fuse: block 0 keeps the factorized split path,
+    later blocks run the phased block kernel; must equal the dense path on
+    the replicated-pocket layout."""
+    from diffsbdd_tpu.models.dynamics import EGNNDynamics
+
+    key = jax.random.PRNGKey(6)
+    Bd, NL, NP, A, R = 3, 6, 11, 4, 5
+    ks = jax.random.split(key, 5)
+    m_l = jnp.ones((Bd, NL)).at[0, -2:].set(0.0)
+    m_p = jnp.broadcast_to(
+        jnp.ones((1, NP)).at[0, -3:].set(0.0), (Bd, NP))
+    xh_lig = jax.random.normal(ks[0], (Bd, NL, 3 + A)) * m_l[..., None]
+    xh_pkt = jnp.broadcast_to(
+        jax.random.normal(ks[1], (1, NP, 3 + R)), (Bd, NP, 3 + R)) \
+        * m_p[..., None]
+    t = jnp.full((Bd, 1), 0.3)
+
+    common = dict(atom_nf=A, residue_nf=R, joint_nf=8, hidden_nf=16,
+                  n_layers=2, attention=True, tanh=True, inv_sublayers=1,
+                  norm_constant=1.0, update_pocket_coords=False,
+                  reflection_equivariant=False, edge_embedding_dim=4,
+                  edge_cutoff_pocket=5.0, edge_cutoff_interaction=7.0)
+    dyn_x = EGNNDynamics(**common, impl="xla")
+    dyn_p = EGNNDynamics(**common, impl="pallas", interpret=True,
+                         kernel_tile=8)
+    params = dyn_x.init(jax.random.PRNGKey(1), xh_lig, xh_pkt, t, m_l, m_p)
+    e_l_x, e_p_x = dyn_x.apply(params, xh_lig, xh_pkt, t, m_l, m_p)
+    e_l_b, e_p_b = dyn_p.apply(params, xh_lig, xh_pkt, t, m_l, m_p,
+                               shared_pocket=True, block_fuse=True)
+    np.testing.assert_allclose(np.asarray(e_l_b), np.asarray(e_l_x),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(e_p_b), np.asarray(e_p_x),
+                               atol=3e-5)
+
+
 def test_dynamics_pallas_gradients():
     """Gradients flow through the fused path (custom VJP, XLA recompute)."""
     from diffsbdd_tpu.models.dynamics import EGNNDynamics

@@ -123,6 +123,7 @@ _DEFAULTS: Dict[str, Any] = {
         "kernel_bwd": "auto",     # training backward: 'auto'(->pallas) |
                                   # 'pallas' | 'xla' (dense-mirror recompute)
         "kernel_bwd_sub_j": None, # backward skip granularity (None -> fwd's)
+        "kernel_block_fuse": True,  # sampling-path whole-block kernel fusion
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
         "nan_check": False,       # abort (host callback) on NaN EGNN

@@ -146,6 +146,8 @@ class EGNNDynamics(nn.Module):
     kernel_bwd: str = "auto"  # 'auto'|'pallas'|'xla': training backward via
     # fused Pallas kernels (egnn_pallas_bwd.py) or dense-XLA recompute
     kernel_bwd_sub_j: Optional[int] = None  # backward skip granularity
+    kernel_block_fuse: bool = True  # allow sampling-path whole-block fusion
+    # (ops/egnn_block_fused.py); False = always use the split kernels
     compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
     matmul_precision: str = "float32"  # TPU default (bf16 inputs) loses ~1e-2
     # relative on this network's large d^2 edge features; 'float32' restores
@@ -267,7 +269,9 @@ class EGNNDynamics(nn.Module):
                                  # MLP + coord update in one phased
                                  # pallas_call); training keeps the split
                                  # kernels with their fused backward
-                                 block_fuse=bool(block_fuse))
+                                 block_fuse=bool(block_fuse)
+                                 and self.kernel_block_fuse
+                                 and self.inv_sublayers == 1)
             elif shard_ctx is not None:
                 # edge-axis sharding: this shard owns a column block of the
                 # pairwise axis; adjacency and edge attrs are built directly

@@ -57,7 +57,7 @@ class LigandPocketDDPM:
         kernel_sub_j: int = 16,
         kernel_bwd: str = "auto",
         kernel_bwd_sub_j: Optional[int] = None,
-        kernel_block_fuse: bool = True,
+        kernel_block_fuse: bool = False,
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
         augment_noise: float = 0.0,
@@ -480,7 +480,7 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         kernel_sub_j=cfg.tpu.get("kernel_sub_j", 16),
         kernel_bwd=cfg.tpu.get("kernel_bwd", "auto"),
         kernel_bwd_sub_j=cfg.tpu.get("kernel_bwd_sub_j"),
-        kernel_block_fuse=cfg.tpu.get("kernel_block_fuse", True),
+        kernel_block_fuse=cfg.tpu.get("kernel_block_fuse", False),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),
         augment_noise=cfg.get("augment_noise", 0.0),

@@ -246,7 +246,13 @@ def main():
 
     T = 500
     n_lig = 24
-    batches = (8, 32, 64, 128)
+    # b8 == b32 == b64 within noise per-molecule (r03 sweep: 1.65 / 1.69 /
+    # 1.69-best mol/s) — per-step cost is ~linear in B on this
+    # bandwidth-bound kernel, so bigger batches buy nothing and B=128's
+    # kernel compile crashes the remote compile helper (HTTP 500); B=64
+    # runs also destabilized the tunnel under sustained load, so the sweep
+    # stops at 64
+    batches = (8, 32, 64)
     repeats = 3
     impl = "pallas"
     # harness smoke mode (CPU-runnable, tiny schedule): validates the bench
@@ -307,6 +313,42 @@ def main():
         raise RuntimeError(f"all batch points failed: {runs}")
     best_key = max(ok, key=lambda k: ok[k]["mol_per_sec"])
     mols_per_sec = ok[best_key]["mol_per_sec"]
+    headline_precision = "float32_x2 (chain-validated, PRECISION_r02.json)"
+
+    # bfloat16 fast tier: eligible as headline only with recorded
+    # metric-level evidence that bf16 samples are chemically
+    # indistinguishable (benchmarks/precision_chem_ab.py writes
+    # PRECISION_r03.json; validity/connectivity deltas within 0.05)
+    bf16_evidence = None
+    try:
+        prec = json.loads((Path(__file__).resolve().parent / "benchmarks"
+                           / "PRECISION_r03.json").read_text())
+        deltas = prec["chem_ab"]["deltas_vs_base"].get("bfloat16")
+        if deltas is not None and \
+                abs(deltas.get("Validity", 1)) <= 0.05 and \
+                abs(deltas.get("Connectivity", 1)) <= 0.05:
+            bf16_evidence = deltas
+    except Exception:
+        pass
+    if bf16_evidence is not None and not smoke:
+        try:
+            time.sleep(15)
+            _, mod16 = _flagship_module(
+                n_lig_max=n_lig, n_pocket_max=320, T=T,
+                matmul_precision="bfloat16", egnn_impl=impl, **model_kw)
+            b_best = ok[best_key]["batch"]
+            run16 = _bench_batch(mod16, params, batch=b_best, T=T,
+                                 n_lig=n_lig, repeats=repeats)
+            runs[f"b{b_best}_bf16"] = run16
+            if run16["mol_per_sec"] > mols_per_sec:
+                mols_per_sec = run16["mol_per_sec"]
+                best_key = f"b{b_best}_bf16"
+                headline_precision = (
+                    "bfloat16 fast tier (chem-validated vs float32_x2, "
+                    "PRECISION_r03.json: deltas "
+                    + json.dumps(bf16_evidence) + ")")
+        except Exception as e:
+            runs["bf16"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # secondary reference workloads (single timed run each): joint-model
     # unconditional sampling and conditional RePaint inpainting
@@ -337,8 +379,8 @@ def main():
         "baseline_note": "A100 baseline 0.5 mol/s = measured single-core CPU "
                          "reference (0.00381 mol/s, BASELINE.json) x assumed "
                          "130x CPU->A100 factor",
-        "headline_batch": ok[best_key]["batch"],
-        "precision": "float32_x2 (chain-validated, PRECISION_r02.json)",
+        "headline_batch": runs[best_key]["batch"],
+        "precision": headline_precision,
         "runs": {k: {kk: round(vv, 4) if isinstance(vv, float) else vv
                      for kk, vv in r.items()} for k, r in runs.items()},
         "workloads": workloads,

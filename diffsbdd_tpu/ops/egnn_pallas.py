@@ -150,6 +150,10 @@ def _prep_w(w, mxu):
         w_hi = w.astype(jnp.bfloat16)
         w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return (w_hi, w_lo)
+    if mxu == jax.lax.Precision.DEFAULT:
+        # fast tier: weights pre-cast so the whole pair MLP stays in native
+        # bf16 (DEFAULT-precision dots truncate to bf16 anyway)
+        return (w.astype(jnp.bfloat16),)
     return (w,)
 
 
@@ -183,13 +187,30 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
     ``w2p``/``w3p`` are ``_prep_w``-prepped weights.  The (F, 1) scalar head
     stays an MXU dot: a VPU multiply-reduce alternative was measured ~25%
     slower end-to-end — the matvec pipelines in parallel with the VPU's
-    elementwise work, the lane reduction does not."""
+    elementwise work, the lane reduction does not.
+
+    On the bfloat16 fast tier (``mxu`` == DEFAULT) the entire assembly +
+    activations run in native bf16 — the pre-activation broadcast-adds and
+    the two silus are the kernel's VPU bottleneck (~22 ms/step at B=32),
+    and DEFAULT-precision dots truncate to bf16 regardless, so the cast
+    costs no additional accuracy on this tier."""
     ti = a_i.shape[0]
     tj = a_j.shape[0]
+    if mxu == jax.lax.Precision.DEFAULT:
+        bf = jnp.bfloat16
+        a_i, a_j = a_i.astype(bf), a_j.astype(bf)
+        d2, d2_0 = d2.astype(bf), d2_0.astype(bf)
+        wd2, wd20 = wd2.astype(bf), wd20.astype(bf)
+        lig_i, lig_j = lig_i.astype(bf), lig_j.astype(bf)
+        type_bias = None if type_bias is None else type_bias.astype(bf)
+        b2 = b2.astype(bf)
     pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
         d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     m = _silu(pre).reshape(ti * tj, -1)
-    m = _silu(_dot(m, w2p, mxu) + b2)
+    z = _dot(m, w2p, mxu) + b2
+    if mxu == jax.lax.Precision.DEFAULT:
+        z = z.astype(jnp.bfloat16)  # the next dot truncates anyway
+    m = _silu(z)
     if w3p is None:
         return m
     return _dot(m, w3p, mxu).reshape(ti, tj)

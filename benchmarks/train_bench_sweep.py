@@ -1,0 +1,116 @@
+"""Training-throughput sweep -> benchmarks/TRAIN_BENCH_r03.json.
+
+Runs the full jitted train step (loss + fused Pallas backward + AdamW +
+adaptive clipping, the same workload as train_bench.py) at several batch
+sizes in ONE process (shared warm compile cache, one device handle), with
+short rests between points to keep the tunnel out of its sustained-load
+degradation, and records the sweep plus the measured reference anchor.
+
+    python benchmarks/train_bench_sweep.py [--batches 8 32 64] \
+        [--precision float32_x2] [--repeats 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="+", default=[8, 32, 64])
+    p.add_argument("--impl", default="pallas")
+    p.add_argument("--bwd", default="auto")
+    p.add_argument("--precision", default="float32_x2")
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--out", type=Path,
+                   default=REPO / "benchmarks" / "TRAIN_BENCH_r03.json")
+    args = p.parse_args()
+
+    from benchmarks.kernel_bench import _cache
+    _cache()
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.train_profile import _make_batch
+    from __graft_entry__ import _flagship_module
+    from diffsbdd_tpu.train.loop import create_train_state, make_train_step
+
+    cfg, module = _flagship_module(
+        n_lig_max=24, n_pocket_max=320, T=500,
+        matmul_precision=args.precision, egnn_impl=args.impl,
+        kernel_bwd=args.bwd)
+    params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
+    state = create_train_state(params, lr=1e-4)
+    step = make_train_step(module, lr=1e-4)
+
+    def sync(s):
+        jax.tree_util.tree_leaves(s.params)[0].block_until_ready()
+
+    points = {}
+    for i, B in enumerate(args.batches):
+        if i:
+            time.sleep(15)
+        try:
+            ligand, pocket = _make_batch(module, B, 24)
+            t0 = time.time()
+            s2, info = step(state, jax.random.PRNGKey(2), ligand, pocket)
+            sync(s2)
+            compile_s = time.time() - t0
+            ts = []
+            for r in range(args.repeats):
+                t0 = time.perf_counter()
+                s2, info = step(s2, jax.random.PRNGKey(3 + r), ligand,
+                                pocket)
+                sync(s2)
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            points[f"b{B}"] = {
+                "batch": B, "ms_per_train_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(B / dt, 2),
+                "compile_s": round(compile_s, 1),
+                "loss": round(float(info["loss"]), 4),
+            }
+            print(f"b{B}: {json.dumps(points[f'b{B}'])}", flush=True)
+        except Exception as e:
+            points[f"b{B}"] = {"batch": B,
+                               "error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"b{B} failed: {points[f'b{B}']['error']}", flush=True)
+
+    ok = {k: v for k, v in points.items() if "samples_per_sec" in v}
+    best = max(ok, key=lambda k: ok[k]["samples_per_sec"]) if ok else None
+    out = {
+        "workload": "full train step: loss + fused Pallas backward + AdamW "
+                    "+ adaptive clip, flagship model, real pocket (N=344)",
+        "impl": args.impl, "bwd": args.bwd, "precision": args.precision,
+        "repeats": args.repeats,
+        "points": points,
+        "headline_samples_per_sec": ok[best]["samples_per_sec"] if best
+        else None,
+        "headline_batch": ok[best]["batch"] if best else None,
+    }
+    # measured anchor: reference training step on this host's CPU core
+    # (benchmarks/measure_reference_cpu.py --train, BASELINE.json)
+    try:
+        anchor = json.loads((REPO / "BASELINE.json").read_text())[
+            "measured"]["reference_cpu_train"]["value"]
+        out["reference_cpu_samples_per_sec"] = anchor
+        if best:
+            out["vs_reference_cpu"] = round(
+                ok[best]["samples_per_sec"] / anchor, 1)
+    except Exception:
+        pass
+    args.out.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    print(f"written: {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

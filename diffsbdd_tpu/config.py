@@ -123,6 +123,7 @@ _DEFAULTS: Dict[str, Any] = {
         "kernel_bwd": "auto",     # training backward: 'auto'(->pallas) |
                                   # 'pallas' | 'xla' (dense-mirror recompute)
         "kernel_bwd_sub_j": None, # backward skip granularity (None -> fwd's)
+        "kernel_bwd_precision": None,  # backward-only MXU tier (None -> fwd's)
         "kernel_block_fuse": False,  # sampling-path whole-block kernel fusion:
         # measured NEUTRAL on v5e (38.3 vs 37.9 ms/step at B=32, x2 tier:
         # the in-kernel node-MLP/projection dots cost what the deleted

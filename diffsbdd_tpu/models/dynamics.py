@@ -146,6 +146,10 @@ class EGNNDynamics(nn.Module):
     kernel_bwd: str = "auto"  # 'auto'|'pallas'|'xla': training backward via
     # fused Pallas kernels (egnn_pallas_bwd.py) or dense-XLA recompute
     kernel_bwd_sub_j: Optional[int] = None  # backward skip granularity
+    kernel_bwd_precision: Optional[str] = None  # backward-only MXU tier
+    # (None -> matmul_precision): gradient rounding noise is orders of
+    # magnitude below SGD minibatch noise, so training can pair an
+    # exact-grade forward with the 1-pass 'bfloat16' backward tier
     kernel_block_fuse: bool = True  # allow sampling-path whole-block fusion
     # (ops/egnn_block_fused.py); False = always use the split kernels
     compute_dtype: Any = jnp.float32  # bf16 halves O(N^2) HBM traffic
@@ -265,6 +269,7 @@ class EGNNDynamics(nn.Module):
                                  if self.kernel_bwd == "auto"
                                  else self.kernel_bwd,
                                  bwd_sub_j=self.kernel_bwd_sub_j,
+                                 bwd_mxu_precision=self.kernel_bwd_precision,
                                  # sampling-path block fusion (GCL + node
                                  # MLP + coord update in one phased
                                  # pallas_call); training keeps the split

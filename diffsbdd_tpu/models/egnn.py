@@ -253,6 +253,7 @@ class DenseGCL(nn.Module):
                 mxu_precision=fused_ctx.get("mxu_precision", "float32"),
                 bwd_impl=fused_ctx.get("bwd_impl", "xla"),
                 bwd_sub_j=fused_ctx.get("bwd_sub_j"),
+                bwd_mxu_precision=fused_ctx.get("bwd_mxu_precision"),
                 interpret=self.interpret)
             x, x0 = fused_ctx["x"], fused_ctx["x0"]
             mask, is_lig = fused_ctx["mask"], fused_ctx["is_lig"]
@@ -497,6 +498,7 @@ class DenseEquivariantUpdate(nn.Module):
             mxu_precision=ctx.get("mxu_precision", "float32"),
             bwd_impl=ctx.get("bwd_impl", "xla"),
             bwd_sub_j=ctx.get("bwd_sub_j"),
+            bwd_mxu_precision=ctx.get("bwd_mxu_precision"),
             interpret=self.interpret)
 
 

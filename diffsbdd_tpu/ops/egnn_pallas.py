@@ -821,7 +821,7 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
-     mxu_precision, interpret, _bwd_impl, _bwd_sub_j) = cfg
+     mxu_precision, interpret, _bwd_impl, _bwd_sub_j, _bwd_prec) = cfg
     main, col_mask, d2_0 = operands
     return gcl_message_agg_pallas(
         *main, cutoffs=cutoffs, attention=attention,
@@ -836,14 +836,15 @@ def _gcl_agg_fwd(cfg, operands):
 
 def _gcl_agg_bwd(cfg, operands, g):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
-     mxu_precision, interpret, bwd_impl, bwd_sub_j) = cfg
+     mxu_precision, interpret, bwd_impl, bwd_sub_j, bwd_prec) = cfg
     if bwd_impl == "pallas":
         from . import egnn_pallas_bwd as bwd
         main, col_mask, d2_0 = operands
         return (bwd.gcl_agg_bwd(
             g, main, col_mask, d2_0, cutoffs=cutoffs, attention=attention,
             normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
-            sub_j=bwd_sub_j or sub_j, mxu_precision=mxu_precision,
+            sub_j=bwd_sub_j or sub_j,
+            mxu_precision=bwd_prec or mxu_precision,
             update_rows=update_rows, interpret=interpret),)
 
     def f(ops):
@@ -867,13 +868,19 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     normalization_factor, impl="pallas", tile_i=TILE_I,
                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
                     col_mask=None, update_rows=None, d2_0=None,
-                    bwd_impl="xla", bwd_sub_j=None, interpret=False):
+                    bwd_impl="xla", bwd_sub_j=None, bwd_mxu_precision=None,
+                    interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way.
 
     ``bwd_impl``: 'pallas' runs the fused backward kernels
     (egnn_pallas_bwd.py); 'xla' (default) recomputes through the dense
     mirror.  ``bwd_sub_j`` overrides the skip granularity for the backward
-    kernel only (None -> same as forward)."""
+    kernel only (None -> same as forward).  ``bwd_mxu_precision`` overrides
+    the MXU tier for the backward kernels only (None -> same as forward):
+    gradients tolerate far more rounding than the sampling chain — bf16
+    dot noise is orders of magnitude below SGD minibatch noise — so
+    training can keep an exact-grade forward while the backward runs the
+    1-pass fast tier."""
     if impl == "xla":
         return gcl_message_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
@@ -883,7 +890,8 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     cfg = (tuple(cutoffs), attention, float(normalization_factor),
            tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
-           mxu_precision, interpret, bwd_impl, bwd_sub_j)
+           mxu_precision, interpret, bwd_impl, bwd_sub_j,
+           bwd_mxu_precision)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, (main, col_mask, d2_0))
@@ -892,7 +900,8 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _coord_agg_cvjp(cfg, operands):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
-     update_rows, mxu_precision, interpret, _bwd_impl, _bwd_sub_j) = cfg
+     update_rows, mxu_precision, interpret, _bwd_impl, _bwd_sub_j,
+     _bwd_prec) = cfg
     main, cross, graph_mean, d2_0 = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
@@ -908,7 +917,8 @@ def _coord_agg_fwd(cfg, operands):
 
 def _coord_agg_bwd(cfg, operands, g):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
-     update_rows, mxu_precision, interpret, bwd_impl, bwd_sub_j) = cfg
+     update_rows, mxu_precision, interpret, bwd_impl, bwd_sub_j,
+     bwd_prec) = cfg
     if bwd_impl == "pallas":
         from . import egnn_pallas_bwd as bwd
         main, cross, graph_mean, d2_0 = operands
@@ -916,7 +926,8 @@ def _coord_agg_bwd(cfg, operands, g):
             g, main, cross, graph_mean, d2_0, cutoffs=cutoffs, tanh=tanh,
             coords_range=coords_range, norm_constant=norm_constant,
             normalization_factor=nf, tile_i=tile_i, tile_j=tile_j,
-            sub_j=bwd_sub_j or sub_j, mxu_precision=mxu_precision,
+            sub_j=bwd_sub_j or sub_j,
+            mxu_precision=bwd_prec or mxu_precision,
             update_rows=update_rows, interpret=interpret),)
 
     def f(ops):
@@ -941,10 +952,12 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      graph_mean=None, impl="pallas", tile_i=TILE_I,
                      tile_j=TILE_J, sub_j=SUB_J, update_rows=None,
                      d2_0=None, mxu_precision="float32", bwd_impl="xla",
-                     bwd_sub_j=None, interpret=False):
+                     bwd_sub_j=None, bwd_mxu_precision=None,
+                     interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable.
 
-    ``bwd_impl``/``bwd_sub_j``: see ``gcl_message_agg``."""
+    ``bwd_impl``/``bwd_sub_j``/``bwd_mxu_precision``: see
+    ``gcl_message_agg``."""
     if impl == "xla":
         return coord_update_agg_xla(
             a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias, w2,
@@ -955,7 +968,8 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
     cfg = (tuple(cutoffs), tanh, float(coords_range), float(norm_constant),
            float(normalization_factor), tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
-           mxu_precision, interpret, bwd_impl, bwd_sub_j)
+           mxu_precision, interpret, bwd_impl, bwd_sub_j,
+           bwd_mxu_precision)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean, d2_0))

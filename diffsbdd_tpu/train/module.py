@@ -57,6 +57,7 @@ class LigandPocketDDPM:
         kernel_sub_j: int = 16,
         kernel_bwd: str = "auto",
         kernel_bwd_sub_j: Optional[int] = None,
+        kernel_bwd_precision: Optional[str] = None,
         kernel_block_fuse: bool = False,
         compute_dtype: str = "float32",
         matmul_precision: str = "float32",
@@ -129,6 +130,7 @@ class LigandPocketDDPM:
             kernel_sub_j=kernel_sub_j,
             kernel_bwd=kernel_bwd,
             kernel_bwd_sub_j=kernel_bwd_sub_j,
+            kernel_bwd_precision=kernel_bwd_precision,
             kernel_block_fuse=kernel_block_fuse,
             compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
             else jnp.float32,
@@ -480,6 +482,7 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         kernel_sub_j=cfg.tpu.get("kernel_sub_j", 16),
         kernel_bwd=cfg.tpu.get("kernel_bwd", "auto"),
         kernel_bwd_sub_j=cfg.tpu.get("kernel_bwd_sub_j"),
+        kernel_bwd_precision=cfg.tpu.get("kernel_bwd_precision"),
         kernel_block_fuse=cfg.tpu.get("kernel_block_fuse", False),
         compute_dtype=cfg.tpu.get("compute_dtype", "float32"),
         matmul_precision=cfg.tpu.get("matmul_precision", "float32"),

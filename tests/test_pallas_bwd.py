@@ -157,3 +157,64 @@ def test_dynamics_pallas_bwd_gradients():
     g_x = jax.grad(lambda p: loss(p, dyn_x))(params)
     g_p = jax.grad(lambda p: loss(p, dyn_p))(params)
     _compare(g_p, g_x)
+
+
+def test_gcl_bwd_precision_override():
+    """``bwd_mxu_precision='bfloat16'`` keeps the forward tier while the
+    backward kernels drop to 1-pass bf16 dots: gradients must stay within
+    bf16-rounding distance of the exact mirror (training-noise-irrelevant),
+    NOT bit-equal."""
+    ops = list(make_inputs(jax.random.PRNGKey(7)))
+    d2_0 = _d2_0_of(ops[3])
+    kw = dict(cutoffs=(None, 5.0, 5.0), attention=True,
+              normalization_factor=100.0)
+
+    def loss(impl, a_row, w2):
+        full = list(ops)
+        full[0], full[9] = a_row, w2
+        if impl == "xla":
+            return jnp.sum(ep.gcl_message_agg_xla(*full, **kw) ** 2)
+        return jnp.sum(ep.gcl_message_agg(
+            *full, **kw, impl="pallas", bwd_impl="pallas", d2_0=d2_0,
+            bwd_mxu_precision="bfloat16", interpret=True) ** 2)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(
+        ops[0], ops[9])
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(
+        ops[0], ops[9])
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 3e-2  # bf16-grade, not garbage
+        # direction must agree: cosine similarity ~1
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999
+
+
+def test_coord_bwd_precision_override():
+    main, cross, graph_mean = coord_inputs(jax.random.PRNGKey(8), True)
+    d2_0 = _d2_0_of(main[3])
+    kw = dict(cutoffs=(None, 5.0, 5.0), tanh=True, coords_range=2.5,
+              norm_constant=1.0, normalization_factor=100.0)
+
+    def loss(impl, a_row, w2):
+        m = list(main)
+        m[0], m[9] = a_row, w2
+        if impl == "xla":
+            return jnp.sum(ep.coord_update_agg_xla(
+                *m, **kw, cross=cross, graph_mean=graph_mean) ** 2)
+        return jnp.sum(ep.coord_update_agg(
+            *m, **kw, cross=cross, graph_mean=graph_mean, impl="pallas",
+            bwd_impl="pallas", d2_0=d2_0, bwd_mxu_precision="bfloat16",
+            interpret=True) ** 2)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(
+        main[0], main[9])
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(
+        main[0], main[9])
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 3e-2
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999

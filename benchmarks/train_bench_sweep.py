@@ -30,6 +30,10 @@ def main():
     p.add_argument("--bwd", default="auto")
     p.add_argument("--precision", default="float32_x2")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--ab-bwd-precision", default="bfloat16",
+                   help="after the batch sweep, re-measure the best batch "
+                        "with this backward-only MXU tier "
+                        "(kernel_bwd_precision); '' skips the A/B")
     p.add_argument("--out", type=Path,
                    default=REPO / "benchmarks" / "TRAIN_BENCH_r03.json")
     args = p.parse_args()
@@ -86,6 +90,44 @@ def main():
 
     ok = {k: v for k, v in points.items() if "samples_per_sec" in v}
     best = max(ok, key=lambda k: ok[k]["samples_per_sec"]) if ok else None
+
+    bwd_ab = None
+    if best and args.ab_bwd_precision:
+        # backward-only fast tier at the winning batch: same forward tier,
+        # bf16 dots in the fused backward kernels (kernel_bwd_precision)
+        time.sleep(15)
+        try:
+            B = ok[best]["batch"]
+            _, mod_ab = _flagship_module(
+                n_lig_max=24, n_pocket_max=320, T=500,
+                matmul_precision=args.precision, egnn_impl=args.impl,
+                kernel_bwd=args.bwd,
+                kernel_bwd_precision=args.ab_bwd_precision)
+            step_ab = make_train_step(mod_ab, lr=1e-4)
+            ligand, pocket = _make_batch(mod_ab, B, 24)
+            s2, info = step_ab(state, jax.random.PRNGKey(2), ligand, pocket)
+            sync(s2)
+            ts = []
+            for r in range(args.repeats):
+                t0 = time.perf_counter()
+                s2, info = step_ab(s2, jax.random.PRNGKey(3 + r), ligand,
+                                   pocket)
+                sync(s2)
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            bwd_ab = {
+                "batch": B, "bwd_precision": args.ab_bwd_precision,
+                "ms_per_train_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(B / dt, 2),
+                "loss": round(float(info["loss"]), 4),
+                "speedup_vs_default_bwd": round(
+                    (B / dt) / ok[best]["samples_per_sec"], 3),
+            }
+            print(f"bwd-ab: {json.dumps(bwd_ab)}", flush=True)
+        except Exception as e:
+            bwd_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"bwd-ab failed: {bwd_ab['error']}", flush=True)
+
     out = {
         "workload": "full train step: loss + fused Pallas backward + AdamW "
                     "+ adaptive clip, flagship model, real pocket (N=344)",
@@ -95,7 +137,12 @@ def main():
         "headline_samples_per_sec": ok[best]["samples_per_sec"] if best
         else None,
         "headline_batch": ok[best]["batch"] if best else None,
+        "bwd_precision_ab": bwd_ab,
     }
+    if bwd_ab and "samples_per_sec" in bwd_ab and \
+            bwd_ab["samples_per_sec"] > out["headline_samples_per_sec"]:
+        out["headline_samples_per_sec"] = bwd_ab["samples_per_sec"]
+        out["headline_bwd_precision"] = bwd_ab["bwd_precision"]
     # measured anchor: reference training step on this host's CPU core
     # (benchmarks/measure_reference_cpu.py --train, BASELINE.json)
     try:

@@ -40,8 +40,19 @@ TILE_J = 128
 SUB_J = 32  # column granularity of cutoff-sparsity skipping inside a tile
 
 
+def _sigmoid(x):
+    # jax.nn.sigmoid lowers with a weak-typed f32 scalar constant; on the
+    # in-kernel bf16 tier Mosaic rejects broadcasting it into a bf16 vector
+    # ('vector.broadcast' element-type verification).  Keep every constant in
+    # x.dtype on that tier; f32 tiers keep the stock lowering bit-for-bit.
+    if x.dtype == jnp.bfloat16:
+        one = jnp.asarray(1.0, jnp.bfloat16)
+        return one / (one + jnp.exp(-x))
+    return jax.nn.sigmoid(x)
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 def _pair_distance2(x_i, x_j_t):
@@ -196,16 +207,16 @@ def _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j, wd2, wd20, type_bias,
     costs no additional accuracy on this tier."""
     ti = a_i.shape[0]
     tj = a_j.shape[0]
+    bias = _edge_bias(d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
     if mxu == jax.lax.Precision.DEFAULT:
+        # d2/d2_0 and the (F,) weight rows stay f32 inside _edge_bias: Mosaic
+        # only supports minor-dim insertion (d2[:, :, None]) for 32-bit
+        # types — build the bias in f32, cast the (ti, tj, F) result once
         bf = jnp.bfloat16
         a_i, a_j = a_i.astype(bf), a_j.astype(bf)
-        d2, d2_0 = d2.astype(bf), d2_0.astype(bf)
-        wd2, wd20 = wd2.astype(bf), wd20.astype(bf)
-        lig_i, lig_j = lig_i.astype(bf), lig_j.astype(bf)
-        type_bias = None if type_bias is None else type_bias.astype(bf)
         b2 = b2.astype(bf)
-    pre = a_i[:, None, :] + a_j[None, :, :] + _edge_bias(
-        d2, d2_0, wd2, wd20, lig_i, lig_j, type_bias)
+        bias = bias.astype(bf)
+    pre = a_i[:, None, :] + a_j[None, :, :] + bias
     m = _silu(pre).reshape(ti * tj, -1)
     z = _dot(m, w2p, mxu) + b2
     if mxu == jax.lax.Precision.DEFAULT:

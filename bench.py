@@ -400,11 +400,14 @@ def _emit_failure(reason: str):
         "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
         "error": reason[:300],
         "last_recorded_tpu": {
-            "value": 1.6913, "unit": "mol/s", "vs_baseline": 3.383,
-            "batch": 32, "ms_per_step": 37.8,
+            "value": 1.6953, "unit": "mol/s", "vs_baseline": 3.391,
+            "batch": 32, "ms_per_step": 37.75,
             "precision": "float32_x2 (validated, PRECISION_r02.json)",
-            "note": "measured on the real v5e chip in round-2 session 4; "
-                    "not a live measurement from this run"},
+            "note": "measured on the real v5e chip at the round-2 harvest "
+                    "(BENCH_r02.json); not a live measurement from this "
+                    "run. The chem-validated bf16 fast tier "
+                    "(PRECISION_r03.json) had no live chain measurement "
+                    "yet when this fallback was recorded."},
     }))
 
 

@@ -411,14 +411,14 @@ def _emit_failure(reason: str):
         "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
         "error": reason[:300],
         "last_recorded_tpu": {
-            "value": 1.6953, "unit": "mol/s", "vs_baseline": 3.391,
-            "batch": 32, "ms_per_step": 37.75,
-            "precision": "float32_x2 (validated, PRECISION_r02.json)",
-            "note": "measured on the real v5e chip at the round-2 harvest "
-                    "(BENCH_r02.json); not a live measurement from this "
-                    "run. The chem-validated bf16 fast tier "
-                    "(PRECISION_r03.json) had no live chain measurement "
-                    "yet when this fallback was recorded."},
+            "value": 2.0196, "unit": "mol/s", "vs_baseline": 4.039,
+            "batch": 32, "ms_per_step": 31.69,
+            "precision": "bfloat16 fast tier (chem-validated, "
+                         "PRECISION_r03.json)",
+            "note": "measured live on the real v5e chip 2026-08-19 "
+                    "(benchmarks/BENCH_live_r03_session3.json; float32_x2 "
+                    "reproduced at 1.6956 mol/s in the same sweep); not a "
+                    "live measurement from this run."},
     }))
 
 

@@ -34,6 +34,11 @@ def main():
                    help="after the batch sweep, re-measure the best batch "
                         "with this backward-only MXU tier "
                         "(kernel_bwd_precision); '' skips the A/B")
+    p.add_argument("--chain-steps", type=int, default=8,
+                   help="after the batch sweep, re-measure the best batch "
+                        "with K optimizer steps chained into one dispatch "
+                        "(make_train_step(chain_steps=K), bit-identical "
+                        "math); 0 skips the A/B")
     p.add_argument("--out", type=Path,
                    default=REPO / "benchmarks" / "TRAIN_BENCH_r03.json")
     args = p.parse_args()
@@ -128,6 +133,48 @@ def main():
             bwd_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"bwd-ab failed: {bwd_ab['error']}", flush=True)
 
+    chain_ab = None
+    if best and args.chain_steps > 1:
+        # chained dispatch at the winning batch: K full optimizer steps per
+        # execute call (lax.scan over stacked batches) — bit-identical math,
+        # pays the per-dispatch host/tunnel latency (~23 ms measured,
+        # loss_glue_probe.py) once per K steps instead of per step
+        time.sleep(15)
+        try:
+            K = args.chain_steps
+            B = ok[best]["batch"]
+            step_k = make_train_step(module, lr=1e-4, chain_steps=K)
+            ligand, pocket = _make_batch(module, B, 24)
+            stack = lambda d: jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), d)
+            lig_k, pkt_k = stack(ligand), stack(pocket)
+            keys = jax.random.split(jax.random.PRNGKey(2), K)
+            t0 = time.time()
+            s2, infos = step_k(state, keys, lig_k, pkt_k)
+            sync(s2)
+            compile_s = time.time() - t0
+            ts = []
+            for r in range(args.repeats):
+                keys = jax.random.split(jax.random.PRNGKey(3 + r), K)
+                t0 = time.perf_counter()
+                s2, infos = step_k(s2, keys, lig_k, pkt_k)
+                sync(s2)
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts)) / K
+            chain_ab = {
+                "batch": B, "chain_steps": K,
+                "ms_per_train_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(B / dt, 2),
+                "compile_s": round(compile_s, 1),
+                "loss": round(float(infos["loss"][-1]), 4),
+                "speedup_vs_single_dispatch": round(
+                    (B / dt) / ok[best]["samples_per_sec"], 3),
+            }
+            print(f"chain-ab: {json.dumps(chain_ab)}", flush=True)
+        except Exception as e:
+            chain_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"chain-ab failed: {chain_ab['error']}", flush=True)
+
     out = {
         "workload": "full train step: loss + fused Pallas backward + AdamW "
                     "+ adaptive clip, flagship model, real pocket (N=344)",
@@ -138,11 +185,16 @@ def main():
         else None,
         "headline_batch": ok[best]["batch"] if best else None,
         "bwd_precision_ab": bwd_ab,
+        "chain_dispatch_ab": chain_ab,
     }
     if bwd_ab and "samples_per_sec" in bwd_ab and \
             bwd_ab["samples_per_sec"] > out["headline_samples_per_sec"]:
         out["headline_samples_per_sec"] = bwd_ab["samples_per_sec"]
         out["headline_bwd_precision"] = bwd_ab["bwd_precision"]
+    if chain_ab and "samples_per_sec" in chain_ab and \
+            chain_ab["samples_per_sec"] > out["headline_samples_per_sec"]:
+        out["headline_samples_per_sec"] = chain_ab["samples_per_sec"]
+        out["headline_chain_steps"] = chain_ab["chain_steps"]
     # measured anchor: reference training step on this host's CPU core
     # (benchmarks/measure_reference_cpu.py --train, BASELINE.json)
     try:

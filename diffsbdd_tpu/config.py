@@ -128,6 +128,11 @@ _DEFAULTS: Dict[str, Any] = {
         # measured NEUTRAL on v5e (38.3 vs 37.9 ms/step at B=32, x2 tier:
         # the in-kernel node-MLP/projection dots cost what the deleted
         # coord-kernel dispatch saved) - available but off by default
+        "steps_per_dispatch": 1,  # K>1: run K optimizer steps per device
+                                  # dispatch (lax.scan over stacked batches),
+                                  # bit-identical to K single steps; amortizes
+                                  # per-dispatch host latency (~23 ms/call on
+                                  # the remote tunnel, loss_glue_probe.py)
         "multihost": False,       # force jax.distributed.initialize() even
                                   # without coordinator env vars
         "nan_check": False,       # abort (host callback) on NaN EGNN

@@ -55,6 +55,21 @@ def shard_batch(batch, mesh: Mesh):
             sharding, np.asarray(x)), batch)
 
 
+def shard_stacked_batch(batches, mesh: Mesh):
+    """Stack a list of batch dicts on a new leading (step) axis and place
+    them with ``(None, 'data')`` sharding — the input layout of the chained
+    train step (``train.loop.make_train_step(chain_steps=K)``): axis 0 is
+    scanned over on-device, axis 1 stays batch-sharded over the mesh."""
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+    sharding = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        stacked)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

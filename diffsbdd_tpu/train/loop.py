@@ -22,7 +22,8 @@ import numpy as np
 import optax
 from flax import struct
 
-from diffsbdd_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffsbdd_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                        shard_stacked_batch)
 
 QUEUE_LEN = 50  # matches utils.Queue(max_len=50)
 
@@ -82,7 +83,8 @@ def create_train_state(params, lr: float) -> TrainState:
 
 
 def make_train_step(module, lr: float, clip_grad: bool = True,
-                    accumulate_grad_batches: int = 1, mesh=None):
+                    accumulate_grad_batches: int = 1, mesh=None,
+                    chain_steps: int = 1):
     """Build the jitted train step for a LigandPocketDDPM module.
 
     Data parallelism, two tiers:
@@ -104,6 +106,19 @@ def make_train_step(module, lr: float, clip_grad: bool = True,
     micro-batches and averages gradients inside one jitted ``lax.scan`` —
     the on-chip equivalent of Lightning's accumulation
     (crossdock_fullatom_joint.yml sets accumulate_grad_batches: 4).
+
+    ``chain_steps`` > 1 returns a CHAINED step instead: one dispatch runs
+    ``chain_steps`` full optimizer steps over a stacked batch via
+    ``lax.scan``.  Signature changes to ``(state, rngs, ligands, pockets)``
+    where ``rngs`` is a stacked ``(chain_steps,)`` array of PRNG keys and
+    the batch leaves carry a leading ``(chain_steps,)`` axis
+    (``parallel.mesh.shard_stacked_batch``); the info dict comes back with
+    the same leading axis.  Bit-identical to ``chain_steps`` sequential
+    calls of the single-step function with the same keys — the point is
+    purely to amortize per-dispatch host latency (measured ~23 ms per
+    execute call through the remote-device tunnel,
+    benchmarks/loss_glue_probe.py), which a sequential host loop pays per
+    optimizer step.
     """
     opt = make_optimizer(lr)
     k_acc = accumulate_grad_batches
@@ -169,8 +184,7 @@ def make_train_step(module, lr: float, clip_grad: bool = True,
     else:
         grad_call = compute_grads
 
-    @jax.jit
-    def train_step(state: TrainState, rng, ligand, pocket):
+    def step_body(state: TrainState, rng, ligand, pocket):
         grads, loss, info = grad_call(state.params, rng, ligand, pocket)
 
         queue = state.queue
@@ -191,7 +205,17 @@ def make_train_step(module, lr: float, clip_grad: bool = True,
                                queue=queue, step=state.step + 1)
         return new_state, info
 
-    return train_step
+    if chain_steps <= 1:
+        return jax.jit(step_body)
+
+    @jax.jit
+    def train_step_chained(state: TrainState, rngs, ligands, pockets):
+        def body(st, inp):
+            key, lig, pkt = inp
+            return step_body(st, key, lig, pkt)
+        return jax.lax.scan(body, state, (rngs, ligands, pockets))
+
+    return train_step_chained
 
 
 def make_eval_step(module, mesh=None):
@@ -319,9 +343,19 @@ class Trainer:
                 f"gives per-shard batch {cfg.batch_size // self.mesh.size}, "
                 f"not divisible by accumulate_grad_batches={k_acc}; adjust "
                 f"batch_size or tpu.mesh_data")
+        # K>1 chains K optimizer steps into one dispatch (lax.scan over
+        # stacked batches) — bit-identical to the sequential loop, but pays
+        # the per-dispatch host latency once per K steps instead of per step
+        self.chain_steps = max(1, int(cfg.tpu.get("steps_per_dispatch", 1)))
         self.train_step = make_train_step(
             module, cfg.lr, cfg.clip_grad,
             accumulate_grad_batches=k_acc, mesh=shmap_mesh)
+        self.train_step_chained = None
+        if self.chain_steps > 1:
+            self.train_step_chained = make_train_step(
+                module, cfg.lr, cfg.clip_grad,
+                accumulate_grad_batches=k_acc, mesh=shmap_mesh,
+                chain_steps=self.chain_steps)
         self.eval_step = make_eval_step(module, mesh=shmap_mesh)
         self.best_val = float("inf")
         # per-step metric logging of every loss term, like the reference's
@@ -339,6 +373,35 @@ class Trainer:
         if self.logger is not None:
             self.logger.log(named, step=step)
 
+    def _run_single(self, state, step_rng, batch, step):
+        ligand = shard_batch(batch["ligand"], self.mesh)
+        pocket = shard_batch(batch["pocket"], self.mesh)
+        state, train_info = self.train_step(state, step_rng, ligand, pocket)
+        step += 1
+        if step % self.log_every_n_steps == 0:
+            self.log(jax.device_get(train_info), "train", step)
+        return state, train_info, step
+
+    def _run_chained(self, state, buf, step):
+        """Dispatch len(buf) == chain_steps optimizer steps in one call."""
+        K = len(buf)
+        keys = jnp.stack([k for k, _ in buf])
+        ligands = shard_stacked_batch([b["ligand"] for _, b in buf],
+                                      self.mesh)
+        pockets = shard_stacked_batch([b["pocket"] for _, b in buf],
+                                      self.mesh)
+        state, infos = self.train_step_chained(state, keys, ligands, pockets)
+        to_log = [j for j in range(K)
+                  if (step + j + 1) % self.log_every_n_steps == 0]
+        if to_log:
+            host = jax.device_get(infos)
+            for j in to_log:
+                self.log(jax.tree.map(lambda a: a[j], host), "train",
+                         step + j + 1)
+        # last step's metrics, device-resident (epoch print syncs lazily)
+        train_info = jax.tree.map(lambda a: a[-1], infos)
+        return state, train_info, step + K
+
     def fit(self, state, rng, n_epochs: int, eval_every: int = 1):
         state = replicate(state, self.mesh)
         # host-side step counter: state.step increments by exactly 1 per
@@ -349,15 +412,23 @@ class Trainer:
         train_info = None
         for epoch in range(n_epochs):
             t0 = time.time()
-            for i, batch in enumerate(self.train_loader):
+            buf = []
+            for batch in self.train_loader:
                 rng, step_rng = jax.random.split(rng)
-                ligand = shard_batch(batch["ligand"], self.mesh)
-                pocket = shard_batch(batch["pocket"], self.mesh)
-                state, train_info = self.train_step(state, step_rng,
-                                                    ligand, pocket)
-                step += 1
-                if step % self.log_every_n_steps == 0:
-                    self.log(jax.device_get(train_info), "train", step)
+                if self.train_step_chained is not None:
+                    buf.append((step_rng, batch))
+                    if len(buf) == self.chain_steps:
+                        state, train_info, step = self._run_chained(
+                            state, buf, step)
+                        buf = []
+                    continue
+                state, train_info, step = self._run_single(
+                    state, step_rng, batch, step)
+            # epoch size not divisible by chain_steps: the tail runs through
+            # the single-step function (same body, one compile on first use)
+            for step_rng, batch in buf:
+                state, train_info, step = self._run_single(
+                    state, step_rng, batch, step)
 
             if (epoch + 1) % eval_every == 0 and self.val_loader is not None:
                 val_losses = []

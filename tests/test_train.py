@@ -310,6 +310,89 @@ def test_gradient_accumulation(module_and_params):
     assert any(jax.tree.leaves(changed))
 
 
+@pytest.mark.quick
+def test_chained_train_step_matches_sequential(module_and_params):
+    """make_train_step(chain_steps=K) scans K full optimizer steps in one
+    dispatch; with the same per-step keys it must reproduce the sequential
+    single-step path (the chaining exists only to amortize per-dispatch
+    host latency, benchmarks/loss_glue_probe.py)."""
+    cfg, module, params = module_and_params
+    step1 = make_train_step(module, lr=1e-3, clip_grad=True)
+    stepK = make_train_step(module, lr=1e-3, clip_grad=True, chain_steps=2)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    batches = [make_batch(jax.random.PRNGKey(s), module) for s in range(4)]
+
+    state_a = create_train_state(params, lr=1e-3)
+    infos_a = []
+    for k, (lig, pkt) in zip(keys, batches):
+        state_a, info = step1(state_a, k, lig, pkt)
+        infos_a.append(info)
+
+    state_b = create_train_state(params, lr=1e-3)
+    infos_b = []
+    for half in (slice(0, 2), slice(2, 4)):
+        ks = jnp.stack(list(keys[half]))
+        ligs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[b[0] for b in batches[half]])
+        pkts = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[b[1] for b in batches[half]])
+        state_b, infos = stepK(state_b, ks, ligs, pkts)
+        infos_b.extend(jax.tree.map(lambda a: a[j], infos) for j in range(2))
+
+    assert int(state_b.step) == int(state_a.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        state_a.params, state_b.params)
+    for ia, ib in zip(infos_a, infos_b):
+        np.testing.assert_allclose(float(ia["loss"]), float(ib["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(ia["grad_norm"]),
+                                   float(ib["grad_norm"]), rtol=1e-5)
+
+
+def test_trainer_chained_matches_single_and_flushes(tmp_path,
+                                                    module_and_params):
+    """Trainer with tpu.steps_per_dispatch=2 over 3 batches/epoch: two steps
+    go through the chained dispatch, the odd tail through the single-step
+    path; logging cadence and final params match the unchained trainer."""
+    cfg0, module, params = module_and_params
+
+    class RecordingLogger:
+        def __init__(self):
+            self.records = []
+
+        def log(self, metrics, step):
+            self.records.append((step, dict(metrics)))
+
+    batches = []
+    for seed in range(3):
+        ligand, pocket = make_batch(jax.random.PRNGKey(seed), module)
+        batches.append({"ligand": ligand, "pocket": pocket})
+
+    results = {}
+    for label, k_chain in (("single", 1), ("chained", 2)):
+        cfg = tiny_config(logdir=str(tmp_path), run_name=f"chain-{label}",
+                          batch_size=B, log_every_n_steps=1,
+                          tpu={"n_lig_max": NL, "n_pocket_max": NP,
+                               "lig_bucket": 4, "pocket_bucket": 8,
+                               "steps_per_dispatch": k_chain})
+        logger = RecordingLogger()
+        trainer = Trainer(module, cfg, train_loader=batches, val_loader=None,
+                          logger=logger)
+        state = create_train_state(params, lr=cfg.lr)
+        state, _ = trainer.fit(state, jax.random.PRNGKey(5), n_epochs=2)
+        steps = [s for s, m in logger.records
+                 if any(k.endswith("/train") for k in m)]
+        assert steps == [1, 2, 3, 4, 5, 6], (label, steps)
+        results[label] = state
+
+    assert int(results["chained"].step) == int(results["single"].step) == 6
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        results["single"].params, results["chained"].params)
+
+
 def test_trainer_logs_every_step(tmp_path, module_and_params):
     """Per-step metric logging of every loss term, matching the reference's
     self.log of the full info dict each training_step

@@ -333,6 +333,75 @@ class PaddedLoader:
             yield pad_batch(items, n_lig, n_pocket)
 
 
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable.
+
+    The TPU-native analogue of the reference DataLoader's ``num_workers``
+    (train.py:76, lightning_modules.py:201): while the device executes the
+    current dispatch the host thread assembles the next batches, up to
+    ``depth`` in flight on a bounded queue.  Collate is numpy/C++ work that
+    releases the GIL, and the consumer blocks in ``block_until_ready`` (GIL
+    released too), so producer and device genuinely overlap even on one
+    core.  Yields the wrapped loader's batches unchanged and in order.
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int = 2):
+        if depth < 1:
+            raise ValueError(f"prefetch depth must be >= 1, got {depth}")
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue as queue_mod
+        import threading
+
+        q = queue_mod.Queue(maxsize=self.depth)
+        stop = threading.Event()
+        err: list = []
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer goes away, so an
+            # abandoned epoch (break out of the train loop, exception in the
+            # step) cannot leave the producer blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def work():
+            try:
+                for batch in self.loader:
+                    if not put(batch):
+                        return
+            except BaseException as e:  # loader errors surface on the consumer
+                err.append(e)
+            finally:
+                put(self._DONE)
+
+        thread = threading.Thread(
+            target=work, name="diffsbdd-prefetch", daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is self._DONE:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            thread.join()
+        if err:
+            raise err[0]
+
+
 def load_size_histogram(datadir) -> np.ndarray:
     """size_distribution.npy written by the processing scripts."""
     return np.load(Path(datadir, "size_distribution.npy"))

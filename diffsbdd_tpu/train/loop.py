@@ -314,6 +314,14 @@ class Trainer:
                  evaluator=None):
         self.module = module
         self.cfg = cfg
+        # num_workers > 0 (the reference DataLoader knob, train.py:76) maps
+        # to a background prefetch thread: the host assembles the next
+        # batches while the device runs the current dispatch
+        n_prefetch = int(cfg.get("num_workers", 0) or 0)
+        if n_prefetch > 0 and train_loader is not None:
+            from diffsbdd_tpu.data.dataset import PrefetchLoader
+            train_loader = PrefetchLoader(train_loader,
+                                          depth=max(2, n_prefetch))
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.logger = logger

@@ -3,7 +3,8 @@ import pytest
 
 from diffsbdd_tpu.data.dataset import (AppendVirtualNodes,
                                        LigandPocketDataset, PaddedLoader,
-                                       pad_batch, round_to_bucket)
+                                       PrefetchLoader, pad_batch,
+                                       round_to_bucket)
 
 
 def make_npz(tmp_path, n_complexes=7, a_nf=4, r_nf=5, seed=0):
@@ -70,6 +71,55 @@ def test_padded_loader_shapes(tmp_path):
         np.testing.assert_array_equal(pkt["mask"].sum(1), pkt["size"])
         # padded lanes are zero
         assert np.all(lig["x"][lig["mask"] == 0] == 0)
+
+
+@pytest.mark.quick
+def test_prefetch_loader_yields_identical_batches(tmp_path):
+    """PrefetchLoader (the num_workers analogue) must be a transparent
+    wrapper: same batches, same order, same length, reusable across
+    epochs."""
+    path = make_npz(tmp_path)
+    ds = LigandPocketDataset(path)
+    loader = PaddedLoader(ds, batch_size=3, lig_bucket=8, pocket_bucket=8,
+                          shuffle=True, rng=np.random.default_rng(1))
+    ref = PaddedLoader(ds, batch_size=3, lig_bucket=8, pocket_bucket=8,
+                       shuffle=True, rng=np.random.default_rng(1))
+    pre = PrefetchLoader(loader, depth=2)
+    assert len(pre) == len(ref)
+    for _epoch in range(2):  # same rng stream -> same shuffles
+        got, want = list(pre), list(ref)
+        assert len(got) == len(want)
+        for b_got, b_want in zip(got, want):
+            assert b_got["names"] == b_want["names"]
+            for part in ("ligand", "pocket"):
+                for k in ("x", "one_hot", "mask", "size"):
+                    np.testing.assert_array_equal(b_got[part][k],
+                                                  b_want[part][k])
+
+
+@pytest.mark.quick
+def test_prefetch_loader_propagates_errors_and_early_exit():
+    class Boom:
+        def __iter__(self):
+            yield {"i": 0}
+            raise RuntimeError("loader exploded")
+
+        def __len__(self):
+            return 2
+
+    it = iter(PrefetchLoader(Boom(), depth=1))
+    assert next(it)["i"] == 0
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it)
+
+    # abandoning the iterator mid-epoch must not hang the producer thread
+    import threading
+
+    n_before = threading.active_count()
+    it2 = iter(PrefetchLoader(({"i": i} for i in range(100)), depth=1))
+    assert next(it2)["i"] == 0
+    it2.close()  # GeneratorExit -> stop event -> thread joined
+    assert threading.active_count() == n_before
 
 
 def test_pad_batch_overflow_raises(tmp_path):

@@ -14,7 +14,19 @@ scaled by a documented assumed 130x single-core-CPU->A100 factor to
 0.5 mol/s.  The raw measured CPU anchor and the ratio against it are also
 emitted so the one assumption stays visible.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output protocol (driver-harvest hardening, VERDICT r03 #1): this script
+prints a parseable provisional JSON record IMMEDIATELY at startup (before
+any jax import or device contact), then an updated record after each
+completed measurement point, and a final complete record at the end.  Every
+line is a full record with the same schema; later lines supersede earlier
+ones (``provisional: true`` marks non-final lines).  Killing the process at
+ANY time leaves a parseable record in the stdout tail.  SIGTERM and the
+internal watchdog flush the latest record before exiting.
+
+Statistics (VERDICT r03 #7): headline points run >=6 timed repeats with the
+first discarded (residual warmup), reporting median + IQR; a point is
+headline-eligible only if IQR/median <= 15%.  MFU/FLOP accounting
+(VERDICT r03 #4) comes from the hand model in diffsbdd_tpu/utils/flops.py.
 """
 from __future__ import annotations
 
@@ -25,12 +37,13 @@ from pathlib import Path
 
 import numpy as np
 
+REPO = Path(__file__).resolve().parent
+
 
 def _load_baseline():
     """Measured CPU anchor + derived A100 estimate from BASELINE.json."""
     try:
-        data = json.loads(
-            (Path(__file__).resolve().parent / "BASELINE.json").read_text())
+        data = json.loads((REPO / "BASELINE.json").read_text())
         measured = data["measured"]["reference_cpu"]["value"]
         a100 = data["measured"]["a100_baseline_estimate"]["value"]
         return measured, a100
@@ -42,6 +55,49 @@ TORCH_CPU_MEASURED_MOL_PER_SEC, TORCH_A100_BASELINE_MOL_PER_SEC = \
     _load_baseline()
 
 EXAMPLE_PDB = Path("/root/reference/example/3rfm.pdb")
+
+BASELINE_NOTE = ("A100 baseline 0.5 mol/s = measured single-core CPU "
+                 "reference (0.00381 mol/s, BASELINE.json) x assumed "
+                 "130x CPU->A100 factor")
+
+# latest emitted record, re-flushed by signal handlers
+_LATEST: dict = {}
+
+
+def _emit(record: dict) -> None:
+    """Print one full JSON record line and remember it for signal flushes."""
+    _LATEST.clear()
+    _LATEST.update(record)
+    print(json.dumps(record), flush=True)
+
+
+def _last_recorded() -> dict:
+    """Most recent live TPU measurement (benchmarks/LAST_RECORDED.json)."""
+    try:
+        return json.loads(
+            (REPO / "benchmarks" / "LAST_RECORDED.json").read_text())
+    except Exception:
+        return {"value": 2.0196, "unit": "mol/s", "vs_baseline": 4.039,
+                "batch": 32, "ms_per_step": 31.69,
+                "precision": "bfloat16 fast tier (chem-validated, "
+                             "PRECISION_r03.json)",
+                "note": "fallback constants (LAST_RECORDED.json unreadable)"}
+
+
+def _emit_startup_provisional() -> None:
+    last = _last_recorded()
+    _emit({
+        "metric": "molecules_per_sec_per_chip_T500",
+        "value": last.get("value", 0.0),
+        "unit": "mol/s",
+        "vs_baseline": last.get("vs_baseline", 0.0),
+        "provisional": True,
+        "provisional_reason": "startup record emitted before any "
+                              "measurement; a later JSON line supersedes "
+                              "this one",
+        "last_recorded_tpu": last,
+        "baseline_note": BASELINE_NOTE,
+    })
 
 
 def get_pocket(module, n_samples):
@@ -74,7 +130,7 @@ def _enable_compilation_cache():
     """Persistent compile cache: repeated bench runs (and the driver's run)
     skip the expensive remote XLA compiles once primed."""
     import jax
-    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir = REPO / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
@@ -83,8 +139,52 @@ def _enable_compilation_cache():
         pass
 
 
-def _bench_batch(module, params, batch, T, n_lig, repeats):
-    """Median-of-N timing at one batch size, plus a stage breakdown."""
+def _mfu_fields(pocket, lig_mask, n_lig, dt_step_s, tier, batch):
+    """FLOP/MFU accounting for one denoise step (utils/flops.py hand model).
+
+    Block activity is computed from the real pocket coordinates with the
+    ligand placed at the pocket CoM with unit-normal spread — the sampler's
+    z_T initialization — at the kernels' (tile_i, sub_j) granularity.
+    """
+    try:
+        from diffsbdd_tpu.utils.flops import (block_activity, eps_net_flops,
+                                              mfu_report)
+        x_p = np.asarray(pocket["x"][:1])
+        m_p = np.asarray(pocket["mask"][:1])
+        n_pkt = x_p.shape[1]
+        m_l = np.asarray(lig_mask[:1])
+        n_pad = -(-(n_lig + n_pkt) // 128) * 128
+        x = np.zeros((1, n_pad, 3), np.float32)
+        mask = np.zeros((1, n_pad), np.float32)
+        is_lig = np.zeros((1, n_pad), np.float32)
+        com = (x_p * m_p[..., None]).sum(1) / m_p.sum(1)[..., None]
+        rng = np.random.default_rng(0)
+        x[:, :n_lig] = com[:, None, :] + rng.standard_normal(
+            (1, n_lig, 3)).astype(np.float32)
+        x[:, n_lig:n_lig + n_pkt] = x_p
+        mask[:, :n_lig] = m_l
+        mask[:, n_lig:n_lig + n_pkt] = m_p
+        is_lig[:, :n_lig] = 1.0
+        cutoffs = (None, 5.0, 5.0)
+        act = block_activity(x, mask, is_lig, cutoffs)
+        fl = eps_net_flops(
+            batch=batch, n_lig_rows=n_lig, n_pocket=n_pkt, n_pad=n_pad,
+            hidden_nf=256, n_layers=6, inv_sublayers=1, attention=True,
+            reflection_equiv=False, activity=act, shared_pocket=True)
+        rep = mfu_report(fl, dt_step_s, tier, batch=batch)
+        rep["block_activity"] = round(act, 4)
+        return rep
+    except Exception as e:  # accounting must never sink a measurement
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _bench_batch(module, params, batch, T, n_lig, repeats, tier):
+    """Timed chain runs at one batch size: median + IQR, first run discarded.
+
+    ``repeats`` counts the timed runs AFTER the compile/warm call; the first
+    timed run is additionally discarded (it reproducibly carries 2-4x
+    residual warmup through the tunnel, BENCH_live_r03_session3.json).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -127,35 +227,26 @@ def _bench_batch(module, params, batch, T, n_lig, repeats):
         out = sample(jax.random.PRNGKey(2 + i))
         sync(out)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    kept = times[1:] if len(times) > 1 else times
+    dt = float(np.median(kept))
+    q1, q3 = np.percentile(kept, [25, 75])
+    iqr = float(q3 - q1)
+    rel_iqr = iqr / dt if dt > 0 else float("inf")
 
-    # marginal per-step cost via a chain-length slope: a half-length chain
-    # shares the fixed costs (prior, decode, dispatch), so the difference
-    # isolates the eps-net step — robust to tunnel drift, unlike timing an
-    # isolated segment in a separate (later, differently-loaded) dispatch
-    half = module.ddpm.sample_given_pocket_segmented(
-        params, jax.random.PRNGKey(2), pocket, lig_mask, timesteps=T // 2,
-        segment=50, shared_pocket=True)
-    sync(half)  # compile any T//2-specific pieces
-    t0 = time.perf_counter()
-    half = module.ddpm.sample_given_pocket_segmented(
-        params, jax.random.PRNGKey(2), pocket, lig_mask, timesteps=T // 2,
-        segment=50, shared_pocket=True)
-    sync(half)
-    dt_half = time.perf_counter() - t0
-
-    return {
+    rec = {
         "batch": batch,
         "mol_per_sec": batch / dt,
         "wall_s_median": round(dt, 2),
+        "wall_s_iqr": round(iqr, 3),
+        "iqr_over_median": round(rel_iqr, 4),
+        "stable": bool(rel_iqr <= 0.15),
         "wall_s_all": [round(t, 2) for t in times],
+        "n_kept": len(kept),
+        "first_run_discarded": len(times) > 1,
         "ms_per_step": round(dt / T * 1e3, 2),
-        # raw half-length chain wall time: the T-vs-T/2 difference isolates
-        # the marginal eps-net step cost when the tunnel is stable; reported
-        # raw because run-to-run device variance (~±25% under sustained
-        # load) can exceed the quantity being derived
-        "wall_s_half_T": round(dt_half, 2),
     }
+    rec["mfu"] = _mfu_fields(pocket, lig_mask, n_lig, dt / T, tier, batch)
+    return rec
 
 
 def _bench_joint_sample(batch, T, n_lig, segment=50, smoke=False):
@@ -235,6 +326,51 @@ def _bench_inpaint(module, params, batch, T, n_lig, resamplings=5,
             "ms_per_net_eval": round(dt / (T * resamplings) * 1e3, 2)}
 
 
+def _assemble(runs, workloads, smoke, bf16_evidence, final):
+    """Full result record from the points measured so far."""
+    ok = {k: r for k, r in runs.items() if "mol_per_sec" in r}
+    if not ok:
+        return None
+    # headline promotion: stability-gated (IQR/median <= 15%); unstable
+    # points stay in the record but cannot carry the headline unless
+    # nothing is stable (then the best point is promoted, flagged)
+    stable = {k: r for k, r in ok.items() if r.get("stable", True)}
+    pool = stable or ok
+    best_key = max(pool, key=lambda k: pool[k]["mol_per_sec"])
+    mols_per_sec = ok[best_key]["mol_per_sec"]
+    if best_key.endswith("_bf16"):
+        headline_precision = (
+            "bfloat16 fast tier (chem-validated vs float32_x2, "
+            "PRECISION_r03.json: deltas " + json.dumps(bf16_evidence) + ")")
+    else:
+        headline_precision = "float32_x2 (chain-validated, PRECISION_r02.json)"
+
+    result = {
+        "metric": "molecules_per_sec_per_chip_T500",
+        "value": round(mols_per_sec, 4),
+        "unit": "mol/s",
+        "vs_baseline": round(mols_per_sec / TORCH_A100_BASELINE_MOL_PER_SEC,
+                             3),
+        "vs_measured_cpu_reference": round(
+            mols_per_sec / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
+        "baseline_note": BASELINE_NOTE,
+        "headline_batch": runs[best_key]["batch"],
+        "headline_stable": bool(runs[best_key].get("stable", True)),
+        "precision": headline_precision,
+        "runs": {k: {kk: round(vv, 4) if isinstance(vv, float) else vv
+                     for kk, vv in r.items()} for k, r in runs.items()},
+        "workloads": workloads,
+    }
+    if not stable:
+        result["stability"] = "no point met IQR/median <= 15%"
+    if not final:
+        result["provisional"] = True
+        result["provisional_reason"] = "sweep still in progress"
+    if smoke:
+        result["smoke_mode"] = True
+    return result
+
+
 def main():
     import os
 
@@ -254,14 +390,13 @@ def main():
     # stops at 64.  ``batches`` drives the smoke path; the real sweep order
     # is built below with headline candidates first.
     batches = (8, 32, 64)
-    repeats = 3
     impl = "pallas"
     # harness smoke mode (CPU-runnable, tiny schedule): validates the bench
     # plumbing without a TPU; the driver runs the full configuration
     smoke = os.environ.get("DIFFSBDD_BENCH_SMOKE") == "1"
     model_kw = {}
     if smoke:
-        T, batches, impl, repeats = 10, (2, 4), "xla", 1
+        T, batches, impl = 10, (2, 4), "xla"
         # plumbing-only validation at a small model: the full-size dense
         # chain runs minutes per step on a single CPU core
         model_kw = dict(hidden_nf=32, n_layers=2)
@@ -280,9 +415,7 @@ def main():
     # the full T=500 chain vs strict f32 (benchmarks/precision_validation.py,
     # PRECISION_r02.json): coord max dev 0.020 A, RMS 0.004 A, ZERO type
     # flips, single-step eps dev 1e-5 — chemically indistinguishable.  The
-    # exact-grade 3-pass tier ('float32_x3', 1.7e-4 A max dev) costs ~19%
-    # more (one extra MXU pass, measured 6.4 ms/step at B=32).  The kernels
-    # skip cutoff-inactive 16-column blocks via SMEM-prefetched activity
+    # kernels skip cutoff-inactive column blocks via SMEM-prefetched activity
     # bits, and in conditional mode the coordinate kernel only computes the
     # ligand row tiles (pocket coordinates are frozen).
     #
@@ -299,33 +432,36 @@ def main():
     # bfloat16 fast tier: eligible as headline only with recorded
     # metric-level evidence that bf16 samples are chemically
     # indistinguishable (benchmarks/precision_chem_ab.py writes
-    # PRECISION_r03.json; validity/connectivity deltas within 0.05)
+    # PRECISION_r{N}.json; validity/connectivity deltas within 0.05)
     bf16_evidence = None
-    try:
-        prec = json.loads((Path(__file__).resolve().parent / "benchmarks"
-                           / "PRECISION_r03.json").read_text())
-        deltas = prec["chem_ab"]["deltas_vs_base"].get("bfloat16")
-        if deltas is not None and \
-                abs(deltas.get("Validity", 1)) <= 0.05 and \
-                abs(deltas.get("Connectivity", 1)) <= 0.05:
-            bf16_evidence = deltas
-    except Exception:
-        pass
+    for rec_name in ("PRECISION_r04.json", "PRECISION_r03.json"):
+        try:
+            prec = json.loads(
+                (REPO / "benchmarks" / rec_name).read_text())
+            deltas = prec["chem_ab"]["deltas_vs_base"].get("bfloat16")
+            if deltas is not None and \
+                    abs(deltas.get("Validity", 1)) <= 0.05 and \
+                    abs(deltas.get("Connectivity", 1)) <= 0.05:
+                bf16_evidence = deltas
+                break
+        except Exception:
+            pass
 
-    def _point(runs, key, mod, batch):
+    def _point(runs, key, mod, batch, repeats, tier):
         try:
             runs[key] = _bench_batch(mod, params, batch=batch, T=T,
-                                     n_lig=n_lig, repeats=repeats)
+                                     n_lig=n_lig, repeats=repeats, tier=tier)
         except Exception as e:  # one failed point must not sink the sweep
             runs[key] = {"batch": batch,
                          "error": f"{type(e).__name__}: {e}"[:200]}
 
     # headline candidates FIRST, on the freshest tunnel state (the tunnel
     # degrades ~±25% under sustained load): the chain-validated x2 point at
-    # B=32, then the chem-validated bf16 fast tier at the same batch.  The
-    # remaining x2 points (b8, b64) fill in the batch-scaling story, and a
-    # bonus bf16 B=64 point closes the sweep; short rests between points.
+    # B=32, then the chem-validated bf16 fast tier at the same batch, at
+    # full repeats.  The remaining x2 points (b8, b64) fill in the
+    # batch-scaling story at reduced repeats; short rests between points.
     runs = {}
+    workloads = {}
     mod16 = None
     if bf16_evidence is not None and not smoke:
         try:
@@ -336,34 +472,30 @@ def main():
             runs["bf16"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     order = []
     if smoke:
-        order = [(f"b{b}", module, b) for b in batches]
+        order = [(f"b{b}", module, b, 2, "float32", True)
+                 for b in batches]
     else:
-        order.append(("b32", module, 32))
+        order.append(("b32", module, 32, 6, "float32_x2", True))
         if mod16 is not None:
-            order.append(("b32_bf16", mod16, 32))
-        order += [("b8", module, 8), ("b64", module, 64)]
-        if mod16 is not None:
-            order.append(("b64_bf16", mod16, 64))
-    for i, (key, mod, b) in enumerate(order):
+            order.append(("b32_bf16", mod16, 32, 6, "bfloat16", True))
+        order += [("b8", module, 8, 4, "float32_x2", False),
+                  ("b64", module, 64, 4, "float32_x2", False)]
+    sweep_t0 = time.monotonic()
+    for i, (key, mod, b, reps, tier, is_headline) in enumerate(order):
+        if not smoke and not is_headline and \
+                time.monotonic() - sweep_t0 > 600:
+            runs[key] = {"batch": b, "skipped": "sweep budget (600s) spent; "
+                         "headline points completed first"}
+            continue
         if not smoke and i:
             time.sleep(20)
-        _point(runs, key, mod, b)
-
-    ok = {k: r for k, r in runs.items() if "mol_per_sec" in r}
-    if not ok:
-        raise RuntimeError(f"all batch points failed: {runs}")
-    best_key = max(ok, key=lambda k: ok[k]["mol_per_sec"])
-    mols_per_sec = ok[best_key]["mol_per_sec"]
-    if best_key.endswith("_bf16"):
-        headline_precision = (
-            "bfloat16 fast tier (chem-validated vs float32_x2, "
-            "PRECISION_r03.json: deltas " + json.dumps(bf16_evidence) + ")")
-    else:
-        headline_precision = "float32_x2 (chain-validated, PRECISION_r02.json)"
+        _point(runs, key, mod, b, reps, tier)
+        snap = _assemble(runs, workloads, smoke, bf16_evidence, final=False)
+        if snap is not None:
+            _emit(snap)
 
     # secondary reference workloads (single timed run each): joint-model
     # unconditional sampling and conditional RePaint inpainting
-    workloads = {}
     try:
         if not smoke:
             time.sleep(15)
@@ -380,49 +512,61 @@ def main():
     except Exception as e:
         workloads["joint_sample_T500"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    result = {
-        "metric": "molecules_per_sec_per_chip_T500",
-        "value": round(mols_per_sec, 4),
-        "unit": "mol/s",
-        "vs_baseline": round(mols_per_sec / TORCH_A100_BASELINE_MOL_PER_SEC, 3),
-        "vs_measured_cpu_reference": round(
-            mols_per_sec / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
-        "baseline_note": "A100 baseline 0.5 mol/s = measured single-core CPU "
-                         "reference (0.00381 mol/s, BASELINE.json) x assumed "
-                         "130x CPU->A100 factor",
-        "headline_batch": runs[best_key]["batch"],
-        "precision": headline_precision,
-        "runs": {k: {kk: round(vv, 4) if isinstance(vv, float) else vv
-                     for kk, vv in r.items()} for k, r in runs.items()},
-        "workloads": workloads,
-    }
-    if smoke:
-        result["smoke_mode"] = True
-    print(json.dumps(result))
+    result = _assemble(runs, workloads, smoke, bf16_evidence, final=True)
+    if result is None:
+        raise RuntimeError(f"all batch points failed: {runs}")
+    _emit(result)
+
+    # persist the live measurement for future provisional records
+    if not smoke and result["value"] > 0:
+        try:
+            best = result["runs"][max(
+                (k for k, r in result["runs"].items() if "mol_per_sec" in r),
+                key=lambda k: result["runs"][k]["mol_per_sec"])]
+            (REPO / "benchmarks" / "LAST_RECORDED.json").write_text(
+                json.dumps({
+                    "value": result["value"], "unit": "mol/s",
+                    "vs_baseline": result["vs_baseline"],
+                    "batch": result["headline_batch"],
+                    "ms_per_step": best.get("ms_per_step"),
+                    "precision": result["precision"],
+                    "source": "bench.py live run",
+                }, indent=1))
+        except Exception:
+            pass
 
 
 def _emit_failure(reason: str):
-    # value 0.0 = no LIVE measurement happened; last_recorded_tpu points at
-    # the most recent real-hardware number (see NOTES.md session 4 and
-    # benchmarks/PRECISION_r02.json for its validation) so a transient
-    # tunnel outage at harvest time doesn't erase the recorded state
-    print(json.dumps({
+    """Terminal failure record.  If a live (even partial) measurement was
+    already emitted, re-emit it with the failure annotated instead of
+    zeroing the value — a captured partial sweep beats a tombstone."""
+    if _LATEST and not _LATEST.get("provisional_reason", "").startswith(
+            "startup"):
+        rec = dict(_LATEST)
+        rec["terminated_early"] = reason[:300]
+        rec.pop("provisional", None)
+        rec.pop("provisional_reason", None)
+        _emit(rec)
+        return
+    # nothing measured live this run: re-emit the startup provisional (the
+    # last-recorded real-hardware number, still flagged provisional) with
+    # the failure reason attached — the VERDICT-r03-#1 protocol
+    last = _last_recorded()
+    _emit({
         "metric": "molecules_per_sec_per_chip_T500",
-        "value": 0.0, "unit": "mol/s", "vs_baseline": 0.0,
+        "value": last.get("value", 0.0),
+        "unit": "mol/s",
+        "vs_baseline": last.get("vs_baseline", 0.0),
+        "provisional": True,
+        "provisional_reason": "no live measurement completed this run; "
+                              "value is the last recorded TPU number",
         "error": reason[:300],
-        "last_recorded_tpu": {
-            "value": 2.0196, "unit": "mol/s", "vs_baseline": 4.039,
-            "batch": 32, "ms_per_step": 31.69,
-            "precision": "bfloat16 fast tier (chem-validated, "
-                         "PRECISION_r03.json)",
-            "note": "measured live on the real v5e chip 2026-08-19 "
-                    "(benchmarks/BENCH_live_r03_session3.json; float32_x2 "
-                    "reproduced at 1.6956 mol/s in the same sweep); not a "
-                    "live measurement from this run."},
-    }))
+        "last_recorded_tpu": last,
+        "baseline_note": BASELINE_NOTE,
+    })
 
 
-def _probe_device(timeout_s: int = 150) -> bool:
+def _probe_device(timeout_s: int = 75) -> bool:
     """Touch the TPU in a SUBPROCESS with a timeout.
 
     The tunnel wedges rather than errors: device init or the first dispatch
@@ -443,34 +587,48 @@ def _probe_device(timeout_s: int = 150) -> bool:
 
 
 if __name__ == "__main__":
-    # hard watchdog: a wedged TPU tunnel hangs rather than erroring; always
-    # emit a parseable record
     import os as _os
     import signal
 
-    # a wedged tunnel heals with idle time: probe cheaply, and if the device
-    # is unresponsive, rest and retry before burning the measurement attempt
-    if _os.environ.get("DIFFSBDD_BENCH_SMOKE") != "1":
-        for attempt in range(4):
-            if _probe_device():
-                break
-            if attempt == 3:
-                # tunnel is thoroughly wedged (a 256x256 matmul won't finish
-                # in 150 s even after 15 min of healing idle); running the
-                # bench would only hang into the watchdog — short-circuit
-                _emit_failure("TPU unreachable: 4 device probes timed out "
-                              "over ~20 min (axon tunnel outage)")
-                _os._exit(0)
-            print(f"device probe {attempt + 1} unresponsive; "
-                  "resting 300s for tunnel recovery", file=sys.stderr)
-            time.sleep(300)
+    # FIRST OUTPUT, before any jax import or device contact: a parseable
+    # provisional record.  The r03 harvest died inside the probe loop with
+    # zero bytes of JSON emitted — that must be impossible now.
+    _emit_startup_provisional()
 
     def _on_timeout(signum, frame):
-        _emit_failure("watchdog: bench exceeded 3000s (TPU tunnel hang?)")
+        _emit_failure("watchdog: bench exceeded its internal budget "
+                      "(TPU tunnel hang?)")
+        _os._exit(0)
+
+    def _on_term(signum, frame):
+        _emit_failure("SIGTERM received (driver timeout?)")
         _os._exit(0)
 
     signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(3000)
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.alarm(2400)
+
+    # a wedged tunnel heals with idle time: probe cheaply, and if the device
+    # is unresponsive, rest and retry — but the WHOLE probe+rest budget is
+    # capped (~7 min) so the harvest window is never consumed by waiting
+    if _os.environ.get("DIFFSBDD_BENCH_SMOKE") != "1":
+        probe_deadline = time.monotonic() + 420
+        reachable = False
+        while True:
+            if _probe_device():
+                reachable = True
+                break
+            if time.monotonic() + 105 + 75 > probe_deadline:
+                break
+            print("device probe unresponsive; resting 105s for tunnel "
+                  "recovery", file=sys.stderr)
+            time.sleep(105)
+        if not reachable:
+            _emit_failure("TPU unreachable: device probes timed out over "
+                          "the capped ~7 min probe budget (axon tunnel "
+                          "outage)")
+            _os._exit(0)
+
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a parseable record

@@ -1,0 +1,129 @@
+"""bench.py harvest protocol + FLOP/MFU model tests (VERDICT r03 #1/#4/#7).
+
+The r03 driver harvest came back ``parsed: null`` because bench.py spent its
+whole budget probing a wedged tunnel before printing a byte.  These tests pin
+the new contract: a parseable record in the stdout tail under ANY termination
+(instant kill, mid-run kill, natural completion), stability-gated headline
+statistics, and the hand FLOP model's internal consistency.
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _last_json_line(text: str):
+    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+    assert lines, "no output at all"
+    return json.loads(lines[-1])
+
+
+def _spawn_smoke():
+    env = dict(os.environ)
+    env["DIFFSBDD_BENCH_SMOKE"] = "1"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+
+@pytest.mark.quick
+def test_startup_record_is_immediate_and_parseable():
+    """First stdout line must appear within seconds and be a full record."""
+    proc = _spawn_smoke()
+    try:
+        t0 = time.monotonic()
+        first = proc.stdout.readline()
+        dt = time.monotonic() - t0
+        rec = json.loads(first)
+        assert dt < 20, f"startup record took {dt:.1f}s"
+        assert rec["metric"] == "molecules_per_sec_per_chip_T500"
+        assert rec["provisional"] is True
+        assert rec["value"] > 0  # last-recorded live number, not a zero
+        assert "vs_baseline" in rec and "unit" in rec
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+@pytest.mark.quick
+def test_sigkill_leaves_parseable_tail():
+    """SIGKILL at any moment leaves a parseable record in the tail."""
+    proc = _spawn_smoke()
+    first = proc.stdout.readline()  # wait for the startup record
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+    rest = proc.stdout.read()
+    rec = _last_json_line(first + rest)
+    assert rec["metric"] == "molecules_per_sec_per_chip_T500"
+    assert rec["value"] > 0
+
+
+def test_full_smoke_emits_progressive_then_final_records():
+    """Natural completion: provisional startup line, >=1 snapshot, final."""
+    proc = _spawn_smoke()
+    out, _ = proc.communicate(timeout=540)
+    assert proc.returncode == 0
+    lines = [json.loads(ln) for ln in out.strip().splitlines() if ln.strip()]
+    assert len(lines) >= 3
+    assert lines[0]["provisional"] is True
+    final = lines[-1]
+    assert "provisional" not in final
+    assert final["smoke_mode"] is True
+    assert final["value"] > 0
+    # VERDICT #7: stats fields present, no wall_s_half_T anywhere
+    for r in final["runs"].values():
+        assert "wall_s_half_T" not in r
+        if "mol_per_sec" in r:
+            assert "iqr_over_median" in r and "stable" in r
+            assert "mfu" in r
+    # intermediate snapshots are flagged and carry the same schema
+    for snap in lines[1:-1]:
+        assert snap["provisional"] is True
+        assert snap["value"] > 0
+
+
+@pytest.mark.quick
+def test_flops_model_consistency():
+    from diffsbdd_tpu.utils.flops import (TIER_PASSES, block_activity,
+                                          eps_net_flops, mfu_report)
+
+    # dense activity == 1.0 on a fully-connected cluster
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.1
+    mask = np.ones((1, 128), np.float32)
+    is_lig = np.zeros((1, 128), np.float32)
+    is_lig[:, :16] = 1.0
+    assert block_activity(x, mask, is_lig, (None, 5.0, 5.0)) == 1.0
+    # spreading the cluster far beyond the cutoffs leaves only diagonal
+    # blocks (+ the cutoff-free ligand-ligand rows) active
+    act = block_activity(x * 1e3, mask, is_lig, (None, 5.0, 5.0))
+    assert act < 0.5
+
+    fl = eps_net_flops(batch=32, n_lig_rows=24, n_pocket=320, n_pad=384,
+                       hidden_nf=256, n_layers=6, activity=0.385,
+                       shared_pocket=True)
+    # flagship magnitude: ~1.5e12 logical flops/step at B=32 (see NOTES r4)
+    assert 0.5e12 < fl["mxu_flops_total"] < 5e12
+    # shared-pocket factorization must shrink the pair count
+    fl_dense = eps_net_flops(batch=32, n_lig_rows=24, n_pocket=320,
+                             n_pad=384, hidden_nf=256, n_layers=6,
+                             activity=0.385, shared_pocket=False)
+    assert fl["pair_slots_gcl"] < fl_dense["pair_slots_gcl"]
+
+    rep = mfu_report(fl, 31.69e-3, "bfloat16")
+    assert 0 < rep["mxu_utilization_executed"] < 1
+    assert 0 < rep["vpu_utilization_est"] < 1.5
+    # x2 doubles executed pairwise passes
+    rep2 = mfu_report(fl, 31.69e-3, "float32_x2")
+    assert rep2["flops_per_step_mxu_executed"] > \
+        rep["flops_per_step_mxu_executed"]
+    assert TIER_PASSES["float32"] == 6

@@ -118,6 +118,10 @@ def main():
     p.add_argument("--type-bias", action="store_true",
                    help="include the (2,2,F) edge-type table (flagship "
                         "configs have one; its per-node parts are folded)")
+    p.add_argument("--skip-mode", default="bits",
+                   choices=["bits", "compact"],
+                   help="cutoff-skip machinery (requires --bits for the "
+                        "d2_0 input; 'compact' = prefetched index lists)")
     p.add_argument("--bits", action="store_true",
                    help="SMEM-prefetched block-activity bits (production "
                         "sampler path passes d2_0)")
@@ -147,7 +151,7 @@ def main():
             inp["is_lig"], inp["w_d2"], inp["w_d20"], tb, inp["w2"],
             inp["b2"], inp["w_att"], inp["b_att"], d2_0=d2_0,
             mxu_precision=args.precision, sub_j=args.sub_j,
-            tile_i=args.tile_i, **kw)
+            tile_i=args.tile_i, skip_mode=args.skip_mode, **kw)
         return out * 0.05 + 0.1  # keep activations bounded across the chain
 
     ms_gcl = timeit(gcl_step, inp["a_row"])
@@ -171,7 +175,7 @@ def main():
             inp["b2"], inp["w3"], mxu_precision=args.precision,
             sub_j=args.sub_j, tile_i=args.tile_i, cross=cross,
             graph_mean=graph_mean, d2_0=d2_0,
-            update_rows=args.update_rows, **ckw)
+            update_rows=args.update_rows, skip_mode=args.skip_mode, **ckw)
         return x + out * 0.01  # adjacency comes from x0, so drift is safe
 
     ms_coord = timeit(coord_step, inp["x"])
@@ -179,7 +183,8 @@ def main():
     result = {"shape": [args.batch, args.n, args.f],
               "precision": args.precision, "sub_j": args.sub_j,
               "tile_i": args.tile_i, "with_cross": args.with_cross,
-              "bits": args.bits, "update_rows": args.update_rows,
+              "bits": args.bits, "skip_mode": args.skip_mode,
+              "update_rows": args.update_rows,
               "gcl_ms": round(ms_gcl, 2), "coord_ms": round(ms_coord, 2)}
 
     if not args.skip_xla:

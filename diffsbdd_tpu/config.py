@@ -118,6 +118,8 @@ _DEFAULTS: Dict[str, Any] = {
         "egnn_impl": "auto",      # 'auto' | 'xla' | 'pallas'
         "kernel_tile_i": 16,      # fused-kernel row-tile height; 16 beats 32
                                   # at chain level (56.5 vs 59.4 ms/step, B=32)
+        "kernel_skip_mode": "bits",  # 'bits' | 'compact' (prefetched
+        # active-block index lists; finer sub_j without branch overhead)
         "kernel_sub_j": 16,       # cutoff-skip granularity; 16 beats 32 with
                                   # prefetched bits (47.2 vs 50.7 ms/step)
         "kernel_bwd": "auto",     # training backward: 'auto'(->pallas) |

@@ -143,6 +143,9 @@ class EGNNDynamics(nn.Module):
     kernel_tile: int = 128
     kernel_tile_i: Optional[int] = None  # default min(16, kernel_tile)
     kernel_sub_j: int = 16  # cutoff-skip granularity inside a column tile
+    kernel_skip_mode: str = "bits"  # 'bits' (per-block scalar predicates) |
+    # 'compact' (prefetched active-block index lists; no branch overhead,
+    # supports finer sub_j — see ops/egnn_pallas.py)
     kernel_bwd: str = "auto"  # 'auto'|'pallas'|'xla': training backward via
     # fused Pallas kernels (egnn_pallas_bwd.py) or dense-XLA recompute
     kernel_bwd_sub_j: Optional[int] = None  # backward skip granularity
@@ -252,6 +255,7 @@ class EGNNDynamics(nn.Module):
                                  or min(16, self.kernel_tile),
                                  tile_j=self.kernel_tile,
                                  sub_j=self.kernel_sub_j,
+                                 skip_mode=self.kernel_skip_mode,
                                  # conditional models freeze pocket coords
                                  # (update_coords_mask=is_lig) and nodes are
                                  # ligand-first: the coordinate kernel only

@@ -254,6 +254,7 @@ class DenseGCL(nn.Module):
                 bwd_impl=fused_ctx.get("bwd_impl", "xla"),
                 bwd_sub_j=fused_ctx.get("bwd_sub_j"),
                 bwd_mxu_precision=fused_ctx.get("bwd_mxu_precision"),
+                skip_mode=fused_ctx.get("skip_mode", "bits"),
                 interpret=self.interpret)
             x, x0 = fused_ctx["x"], fused_ctx["x0"]
             mask, is_lig = fused_ctx["mask"], fused_ctx["is_lig"]
@@ -499,6 +500,7 @@ class DenseEquivariantUpdate(nn.Module):
             bwd_impl=ctx.get("bwd_impl", "xla"),
             bwd_sub_j=ctx.get("bwd_sub_j"),
             bwd_mxu_precision=ctx.get("bwd_mxu_precision"),
+            skip_mode=ctx.get("skip_mode", "bits"),
             interpret=self.interpret)
 
 

@@ -136,6 +136,61 @@ def _block_activity_bits(d2_0, mask, col_mask, is_lig, cutoffs,
                    axis=-1)
 
 
+def _compact_block_indices(d2_0, mask, col_mask, is_lig, cutoffs,
+                           tile_i, sub_j, n_row_tiles):
+    """Compacted per-row-tile active-column-block index lists (+ counts).
+
+    The bits machinery (``_block_activity_bits``) still iterates every
+    column block and resolves a scalar predicate per block; this variant
+    instead prefetches, per (batch, row tile), the *list* of active
+    ``sub_j``-column block ids so the kernel's inner loop runs EXACTLY
+    ``count`` iterations — no branches, no skipped-block overhead, and a
+    finer practical granularity (sub_j=8: ~25% of pair slots vs ~38% at
+    sub_j=32 on the 3rfm pocket).  Indices are packed 4 uint8 per int32
+    word for SMEM economy (so N/sub_j must be <= 256).
+
+    Returns (counts (B, n_rows) int32, words (B, n_rows, ceil(n_sub/4))
+    int32).  Same 1e-6 cutoff slack as the bits path: boundary-ulp
+    XLA-vs-kernel differences can only ADD blocks; the in-kernel adjacency
+    gate keeps results exact.
+    """
+    B, N, _ = d2_0.shape
+    n_sub = N // sub_j
+    assert n_sub <= 256, (N, sub_j)  # uint8-packed block ids
+    slack = [None if c is None else c * (1.0 + 1e-6) for c in cutoffs]
+    adj = _adjacency_dense(d2_0, mask, is_lig, tuple(slack),
+                           col_mask=col_mask)
+    blk = adj.reshape(B, N // tile_i, tile_i, n_sub, sub_j)
+    act = jnp.max(blk, axis=(2, 4)) > 0            # (B, n_i, n_sub)
+    act = act[:, :n_row_tiles]
+    counts = jnp.sum(act, axis=-1).astype(jnp.int32)
+    # stable argsort of (inactive, id): active block ids first, ascending
+    order = jnp.argsort(~act, axis=-1, stable=True).astype(jnp.uint32)
+    pad = (-n_sub) % 4
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
+    order = order.reshape(B, n_row_tiles, -1, 4)
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, None, :]
+    words = jnp.sum(order << shifts, axis=-1, dtype=jnp.uint32)
+    return counts, jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+def _unpack_block_id(words_ref, pb, i, k):
+    """k-th uint8 block id from the packed int32 index words."""
+    word = words_ref[pb, i, k >> 2]
+    return jnp.bitwise_and(
+        jax.lax.shift_right_logical(word, 8 * (k & 3)), 0xFF)
+
+
+def _col_tiles(a, sub_j):
+    """(B, N, K) column-side array -> (B, N//sub_j, K, sub_j) transposed
+    tiles, so the kernel can load one (K, sub_j) block at a dynamic block
+    id without lane-dim dynamic slicing (only 128-multiples are sliceable
+    on the lane axis; the tiled layout makes the block id an outer index)."""
+    B, N, K = a.shape
+    return a.reshape(B, N // sub_j, sub_j, K).swapaxes(2, 3)
+
+
 # in-kernel MXU precision by policy name (the edge features are computed
 # elementwise and are always exact; only the hidden-layer dots vary).
 # Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass bf16 = exact
@@ -344,11 +399,141 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
     return kernel
 
 
+def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
+                             normalization_factor,
+                             mxu=jax.lax.Precision.HIGHEST):
+    """Compacted-index GCL kernel: the inner loop runs exactly ``count``
+    iterations over prefetched active-block ids (no skip branches); each
+    iteration computes one (tile_i, sub_j) pair block."""
+
+    def kernel(counts_ref, words_ref,
+               a_row_ref, a_col_ref, x_ref, xt_t_ref, x0_ref, x0t_t_ref,
+               mask_ref, maskt_t_ref, lig_ref, ligt_t_ref,
+               wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
+               batt_ref, out_ref):
+        pb = pl.program_id(0)
+        i = pl.program_id(1)
+        ti = a_row_ref.shape[1]
+        a_i = a_row_ref[0]
+        x_i = x_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        x0_i = x0_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        type_bias = tbias_ref[:] if has_type_bias else None
+        w2p = _prep_w(w2_ref[:], mxu)
+        wattp = _prep_w(watt_ref[:], mxu) if attention else None
+
+        def body(k, acc):
+            col = _unpack_block_id(words_ref, pb, i, k)
+            off = pl.multiple_of(col * sub_j, sub_j)
+            a_j = a_col_ref[0, pl.ds(off, sub_j), :]
+            x_j_t = xt_t_ref[0, col]        # (3, sub_j)
+            x0_j_t = x0t_t_ref[0, col]
+            mask_j = maskt_t_ref[0, col]    # (1, sub_j)
+            lig_j = ligt_t_ref[0, col]
+            d2 = _pair_distance2(x_i, x_j_t)
+            d2_0 = _pair_distance2(x0_i, x0_j_t)
+            # adjacency from the EGNN input coordinates, as in the bits path
+            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j,
+                                  cutoffs)
+            m = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
+                          wd2_ref[0], wd20_ref[0], type_bias,
+                          w2p, b2_ref[0], None, mxu)
+            gate = adj[:, :, None]
+            if attention:
+                att = jax.nn.sigmoid(_dot(m, wattp, mxu) + batt_ref[0])
+                gate = gate * att.reshape(ti, sub_j, 1)
+            return acc + jnp.sum(m.reshape(ti, sub_j, -1) * gate, axis=1)
+
+        acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
+        acc = jax.lax.fori_loop(0, counts_ref[pb, i], body, acc)
+        out_ref[0] = acc / normalization_factor
+
+    return kernel
+
+
+def _gcl_agg_pallas_compact(
+        a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+        w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
+        tile_i, sub_j, mxu_precision, col_mask, update_rows, d2_0,
+        interpret):
+    """Compacted-index launch of the GCL kernel (see
+    ``_compact_block_indices``); same contract as the bits path."""
+    B, N, F = a_row.shape
+    assert N % sub_j == 0 and N % tile_i == 0, (N, tile_i, sub_j)
+    n_row_tiles = N // tile_i
+    if update_rows is not None:
+        n_row_tiles = min(n_row_tiles, -(-int(update_rows) // tile_i))
+    n_rows_out = n_row_tiles * tile_i
+    a_row, a_col, type_delta = fold_type_bias(a_row, a_col, is_lig, type_bias)
+    has_type_bias = type_delta is not None
+    if type_delta is None:
+        type_delta = jnp.zeros((F,), a_row.dtype)
+    if w_att is None:
+        w_att = jnp.zeros((F, 1), a_row.dtype)
+        b_att = jnp.zeros((1,), a_row.dtype)
+
+    counts, words = _compact_block_indices(
+        d2_0, mask, mask if col_mask is None else col_mask, is_lig,
+        cutoffs, tile_i, sub_j, n_row_tiles)
+    kernel = _make_gcl_kernel_compact(
+        sub_j=sub_j, cutoffs=cutoffs, attention=attention,
+        has_type_bias=has_type_bias,
+        normalization_factor=normalization_factor,
+        mxu=_PRECISIONS[mxu_precision])
+
+    n_sub = N // sub_j
+    full = lambda b, i, *_: (b, 0, 0)
+    full4 = lambda b, i, *_: (b, 0, 0, 0)
+    rowmap = lambda b, i, *_: (b, i, 0)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda b, i, *_: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    tiles4 = lambda K: pl.BlockSpec((1, n_sub, K, sub_j), full4,
+                                    memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, tile_i, F), rowmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+        tiles4(3),
+        pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM),
+        tiles4(3),
+        pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+        tiles4(1),
+        pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM),
+        tiles4(1),
+        const2((1, F)), const2((1, F)), const2((1, F)),
+        const2((F, F)), const2((1, F)), const2((F, 1)), const2((1, 1)),
+    ]
+    out_spec = pl.BlockSpec((1, tile_i, F), rowmap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_rows_out, F), jnp.float32)
+    cm = (mask if col_mask is None else col_mask)
+    args = (a_row, a_col, x, _col_tiles(x, sub_j), x0, _col_tiles(x0, sub_j),
+            mask[..., None], _col_tiles(cm[..., None], sub_j),
+            is_lig[..., None], _col_tiles(is_lig[..., None], sub_j),
+            w_d2.reshape(1, F), w_d20.reshape(1, F),
+            type_delta.reshape(1, F), w2, b2.reshape(1, F), w_att,
+            b_att.reshape(1, 1))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(B, n_row_tiles),
+            in_specs=in_specs, out_specs=out_spec),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(counts, words, *args)
+    if n_rows_out < N:
+        out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
+    return out
+
+
 def gcl_message_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
         w2, b2, w_att, b_att, *, cutoffs, attention, normalization_factor,
         tile_i=TILE_I, tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
-        col_mask=None, update_rows=None, d2_0=None, interpret=False):
+        col_mask=None, update_rows=None, d2_0=None, skip_mode="bits",
+        interpret=False):
     """Aggregated attention-gated messages -> (B, N, F).
 
     a_row/a_col: per-node projections of h through the split first-layer
@@ -369,7 +554,19 @@ def gcl_message_agg_pallas(
     coordinates — enables SMEM-prefetched block-activity bits so skip
     branches resolve on the scalar core (used only for skipping; the
     in-kernel adjacency gate keeps results exact).
+
+    ``skip_mode``: 'bits' (per-block scalar predicates over every column
+    block) or 'compact' (prefetched active-block index lists; the inner
+    loop runs exactly ``count`` iterations — supports finer ``sub_j``
+    without per-block branch overhead).  'compact' requires ``d2_0``.
     """
+    if skip_mode == "compact" and d2_0 is not None:
+        return _gcl_agg_pallas_compact(
+            a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+            w2, b2, w_att, b_att, cutoffs=cutoffs, attention=attention,
+            normalization_factor=normalization_factor, tile_i=tile_i,
+            sub_j=sub_j, mxu_precision=mxu_precision, col_mask=col_mask,
+            update_rows=update_rows, d2_0=d2_0, interpret=interpret)
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
     n_row_tiles = N // tile_i
@@ -605,13 +802,193 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
     return kernel
 
 
+def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
+                               coords_range, reflection_equiv, norm_constant,
+                               normalization_factor,
+                               mxu=jax.lax.Precision.HIGHEST):
+    """Compacted-index coordinate-update kernel (see the GCL twin)."""
+
+    def kernel(*refs):
+        counts_ref, words_ref, *refs = refs
+        if reflection_equiv:
+            (a_row_ref, a_col_ref, x_ref, xt_t_ref, x0_ref, x0t_t_ref,
+             mask_ref, maskt_t_ref, lig_ref, ligt_t_ref,
+             wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
+             out_ref) = refs
+        else:
+            (a_row_ref, a_col_ref, c_row_ref, c_col_ref, x_ref, xt_t_ref,
+             x0_ref, x0t_t_ref, mean_ref, mask_ref, maskt_t_ref, lig_ref,
+             ligt_t_ref,
+             wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, w3_ref,
+             cwd2_ref, cwd20_ref, ctbias_ref, cw2_ref, cb2_ref, cw3_ref,
+             out_ref) = refs
+
+        pb = pl.program_id(0)
+        i = pl.program_id(1)
+        ti = a_row_ref.shape[1]
+        a_i = a_row_ref[0]
+        x_i = x_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        x0_i = x0_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        mask_i = mask_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        lig_i = lig_ref[0, pl.ds(pl.multiple_of(i * ti, ti), ti), :]
+        type_bias = tbias_ref[:] if has_type_bias else None
+        w2p = _prep_w(w2_ref[:], mxu)
+        w3p = _prep_w(w3_ref[:], mxu)
+        if not reflection_equiv:
+            c_i = c_row_ref[0]
+            mean = mean_ref[0]  # (1, 3)
+            ctype_bias = ctbias_ref[:] if has_type_bias else None
+            cw2p = _prep_w(cw2_ref[:], mxu)
+            cw3p = _prep_w(cw3_ref[:], mxu)
+
+        def body(k, acc):
+            col = _unpack_block_id(words_ref, pb, i, k)
+            off = pl.multiple_of(col * sub_j, sub_j)
+            a_j = a_col_ref[0, pl.ds(off, sub_j), :]
+            x_j_t = xt_t_ref[0, col]
+            x0_j_t = x0t_t_ref[0, col]
+            mask_j = maskt_t_ref[0, col]
+            lig_j = ligt_t_ref[0, col]
+            d2 = _pair_distance2(x_i, x_j_t)
+            d2_0 = _pair_distance2(x0_i, x0_j_t)
+            adj = _adjacency_tile(d2_0, mask_i, mask_j, lig_i, lig_j,
+                                  cutoffs)
+            phi = _pair_mlp(a_i, a_j, d2, d2_0, lig_i, lig_j,
+                            wd2_ref[0], wd20_ref[0], type_bias,
+                            w2p, b2_ref[0], w3p, mxu)
+            if tanh:
+                phi = jnp.tanh(phi) * coords_range
+            norm = jnp.sqrt(d2 + 1e-8) + norm_constant
+            w = phi / norm * adj
+
+            if not reflection_equiv:
+                c_j = c_col_ref[0, pl.ds(off, sub_j), :]
+                phi_c = _pair_mlp(c_i, c_j, d2, d2_0, lig_i, lig_j,
+                                  cwd2_ref[0], cwd20_ref[0], ctype_bias,
+                                  cw2p, cb2_ref[0], cw3p, mxu)
+                if tanh:
+                    phi_c = jnp.tanh(phi_c) * coords_range
+                xi = [x_i[:, a:a + 1] - mean[:, a:a + 1] for a in range(3)]
+                xj = [x_j_t[a:a + 1, :] - mean[:, a:a + 1]
+                      for a in range(3)]
+                cx = xi[1] * xj[2] - xi[2] * xj[1]
+                cy = xi[2] * xj[0] - xi[0] * xj[2]
+                cz = xi[0] * xj[1] - xi[1] * xj[0]
+                cnorm = jnp.sqrt(cx * cx + cy * cy + cz * cz + 1e-8) \
+                    + norm_constant
+                wc = phi_c / cnorm * adj
+                cross = (cx, cy, cz)
+
+            cols = []
+            for a in range(3):
+                diff_a = x_i[:, a:a + 1] - x_j_t[a:a + 1, :]
+                t_a = jnp.sum(w * diff_a, axis=1, keepdims=True)
+                if not reflection_equiv:
+                    t_a = t_a + jnp.sum(wc * cross[a], axis=1,
+                                        keepdims=True)
+                cols.append(t_a)
+            return acc + jnp.concatenate(cols, axis=1)
+
+        acc = jnp.zeros((ti, 3), jnp.float32)
+        acc = jax.lax.fori_loop(0, counts_ref[pb, i], body, acc)
+        out_ref[0] = acc / normalization_factor
+
+    return kernel
+
+
+def _coord_agg_pallas_compact(
+        a_row, a_col, x, x0, mask, is_lig,
+        w_d2, w_d20, type_bias, w2, b2, w3, *,
+        cutoffs, tanh, coords_range, norm_constant, normalization_factor,
+        cross, graph_mean, tile_i, sub_j, update_rows, d2_0, mxu_precision,
+        interpret):
+    B, N, F = a_row.shape
+    assert N % sub_j == 0 and N % tile_i == 0, (N, tile_i, sub_j)
+    n_row_tiles = N // tile_i
+    if update_rows is not None:
+        n_row_tiles = min(n_row_tiles, -(-int(update_rows) // tile_i))
+    n_rows_out = n_row_tiles * tile_i
+    reflection_equiv = cross is None
+    a_row, a_col, type_delta = fold_type_bias(a_row, a_col, is_lig, type_bias)
+    has_type_bias = type_delta is not None
+    if type_delta is None:
+        type_delta = jnp.zeros((F,), a_row.dtype)
+
+    counts, words = _compact_block_indices(
+        d2_0, mask, mask, is_lig, cutoffs, tile_i, sub_j, n_row_tiles)
+    kernel = _make_coord_kernel_compact(
+        sub_j=sub_j, cutoffs=cutoffs, has_type_bias=has_type_bias,
+        tanh=tanh, coords_range=coords_range,
+        reflection_equiv=reflection_equiv, norm_constant=norm_constant,
+        normalization_factor=normalization_factor,
+        mxu=_PRECISIONS[mxu_precision])
+
+    n_sub = N // sub_j
+    full = lambda b, i, *_: (b, 0, 0)
+    full4 = lambda b, i, *_: (b, 0, 0, 0)
+    row_spec = pl.BlockSpec((1, tile_i, F), lambda b, i, *_: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, N, F), full, memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, N, 3), full, memory_space=pltpu.VMEM)
+    nrow_spec = pl.BlockSpec((1, N, 1), full, memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda b, i, *_: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    tiles4 = lambda K: pl.BlockSpec((1, n_sub, K, sub_j), full4,
+                                    memory_space=pltpu.VMEM)
+
+    in_specs = [row_spec, col_spec]
+    args = [a_row, a_col]
+    if not reflection_equiv:
+        c_row, c_col, c_delta = fold_type_bias(
+            cross["a_row"], cross["a_col"], is_lig, cross["type_bias"])
+        if c_delta is None:
+            c_delta = jnp.zeros((F,), a_row.dtype)
+        in_specs += [row_spec, col_spec]
+        args += [c_row, c_col]
+    in_specs += [x_spec, tiles4(3), x_spec, tiles4(3)]
+    args += [x, _col_tiles(x, sub_j), x0, _col_tiles(x0, sub_j)]
+    if not reflection_equiv:
+        in_specs += [pl.BlockSpec((1, 1, 3), lambda b, i, *_: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [graph_mean.reshape(B, 1, 3)]
+    in_specs += [nrow_spec, tiles4(1), nrow_spec, tiles4(1),
+                 const2((1, F)), const2((1, F)), const2((1, F)),
+                 const2((F, F)), const2((1, F)), const2((F, 1))]
+    args += [mask[..., None], _col_tiles(mask[..., None], sub_j),
+             is_lig[..., None], _col_tiles(is_lig[..., None], sub_j),
+             w_d2.reshape(1, F), w_d20.reshape(1, F),
+             type_delta.reshape(1, F), w2, b2.reshape(1, F), w3]
+    if not reflection_equiv:
+        in_specs += [const2((1, F)), const2((1, F)), const2((1, F)),
+                     const2((F, F)), const2((1, F)), const2((F, 1))]
+        args += [cross["w_d2"].reshape(1, F), cross["w_d20"].reshape(1, F),
+                 c_delta.reshape(1, F), cross["w2"],
+                 cross["b2"].reshape(1, F), cross["w3"]]
+
+    out_spec = pl.BlockSpec((1, tile_i, 3), lambda b, i, *_: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(B, n_row_tiles),
+            in_specs=in_specs, out_specs=out_spec),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(counts, words, *args)
+    if n_rows_out < N:
+        out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
+    return out
+
+
 def coord_update_agg_pallas(
         a_row, a_col, x, x0, mask, is_lig,
         w_d2, w_d20, type_bias, w2, b2, w3, *,
         cutoffs, tanh, coords_range, norm_constant, normalization_factor,
         cross=None, graph_mean=None, tile_i=TILE_I, tile_j=TILE_J,
         sub_j=SUB_J, update_rows=None, d2_0=None, mxu_precision="float32",
-        interpret=False):
+        skip_mode="bits", interpret=False):
     """Aggregated coordinate translations -> (B, N, 3).
 
     ``cross``: optional dict with the cross-product MLP pieces
@@ -624,7 +1001,18 @@ def coord_update_agg_pallas(
     is truncated to those row tiles and the remaining rows are returned as
     exact zeros — skipping ~85%% of this kernel's work on the flagship
     pocket-conditional shape.
+
+    ``skip_mode``: 'bits' | 'compact' — see ``gcl_message_agg_pallas``.
     """
+    if skip_mode == "compact" and d2_0 is not None:
+        return _coord_agg_pallas_compact(
+            a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
+            w2, b2, w3, cutoffs=cutoffs, tanh=tanh,
+            coords_range=coords_range, norm_constant=norm_constant,
+            normalization_factor=normalization_factor, cross=cross,
+            graph_mean=graph_mean, tile_i=tile_i, sub_j=sub_j,
+            update_rows=update_rows, d2_0=d2_0,
+            mxu_precision=mxu_precision, interpret=interpret)
     B, N, F = a_row.shape
     assert N % tile_j == 0 and N % tile_i == 0, (N, tile_i, tile_j)
     n_row_tiles = N // tile_i
@@ -832,13 +1220,15 @@ def coord_update_agg_xla(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gcl_agg_cvjp(cfg, operands):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
-     mxu_precision, interpret, _bwd_impl, _bwd_sub_j, _bwd_prec) = cfg
+     mxu_precision, interpret, _bwd_impl, _bwd_sub_j, _bwd_prec,
+     skip_mode) = cfg
     main, col_mask, d2_0 = operands
     return gcl_message_agg_pallas(
         *main, cutoffs=cutoffs, attention=attention,
         normalization_factor=nf, tile_i=tile_i, tile_j=tile_j, sub_j=sub_j,
         col_mask=col_mask, update_rows=update_rows, d2_0=d2_0,
-        mxu_precision=mxu_precision, interpret=interpret)
+        mxu_precision=mxu_precision, skip_mode=skip_mode,
+        interpret=interpret)
 
 
 def _gcl_agg_fwd(cfg, operands):
@@ -847,7 +1237,8 @@ def _gcl_agg_fwd(cfg, operands):
 
 def _gcl_agg_bwd(cfg, operands, g):
     (cutoffs, attention, nf, tile_i, tile_j, sub_j, update_rows,
-     mxu_precision, interpret, bwd_impl, bwd_sub_j, bwd_prec) = cfg
+     mxu_precision, interpret, bwd_impl, bwd_sub_j, bwd_prec,
+     _skip_mode) = cfg
     if bwd_impl == "pallas":
         from . import egnn_pallas_bwd as bwd
         main, col_mask, d2_0 = operands
@@ -880,7 +1271,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                     tile_j=TILE_J, sub_j=SUB_J, mxu_precision="float32",
                     col_mask=None, update_rows=None, d2_0=None,
                     bwd_impl="xla", bwd_sub_j=None, bwd_mxu_precision=None,
-                    interpret=False):
+                    skip_mode="bits", interpret=False):
     """Fused (or dense) GCL message aggregation, differentiable either way.
 
     ``bwd_impl``: 'pallas' runs the fused backward kernels
@@ -902,7 +1293,7 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
            tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
            mxu_precision, interpret, bwd_impl, bwd_sub_j,
-           bwd_mxu_precision)
+           bwd_mxu_precision, skip_mode)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w_att, b_att)
     return _gcl_agg_cvjp(cfg, (main, col_mask, d2_0))
@@ -912,14 +1303,15 @@ def gcl_message_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
 def _coord_agg_cvjp(cfg, operands):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
      update_rows, mxu_precision, interpret, _bwd_impl, _bwd_sub_j,
-     _bwd_prec) = cfg
+     _bwd_prec, skip_mode) = cfg
     main, cross, graph_mean, d2_0 = operands
     return coord_update_agg_pallas(
         *main, cutoffs=cutoffs, tanh=tanh, coords_range=coords_range,
         norm_constant=norm_constant, normalization_factor=nf,
         cross=cross, graph_mean=graph_mean, tile_i=tile_i, tile_j=tile_j,
         sub_j=sub_j, update_rows=update_rows, d2_0=d2_0,
-        mxu_precision=mxu_precision, interpret=interpret)
+        mxu_precision=mxu_precision, skip_mode=skip_mode,
+        interpret=interpret)
 
 
 def _coord_agg_fwd(cfg, operands):
@@ -929,7 +1321,7 @@ def _coord_agg_fwd(cfg, operands):
 def _coord_agg_bwd(cfg, operands, g):
     (cutoffs, tanh, coords_range, norm_constant, nf, tile_i, tile_j, sub_j,
      update_rows, mxu_precision, interpret, bwd_impl, bwd_sub_j,
-     bwd_prec) = cfg
+     bwd_prec, _skip_mode) = cfg
     if bwd_impl == "pallas":
         from . import egnn_pallas_bwd as bwd
         main, cross, graph_mean, d2_0 = operands
@@ -964,7 +1356,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
                      tile_j=TILE_J, sub_j=SUB_J, update_rows=None,
                      d2_0=None, mxu_precision="float32", bwd_impl="xla",
                      bwd_sub_j=None, bwd_mxu_precision=None,
-                     interpret=False):
+                     skip_mode="bits", interpret=False):
     """Fused (or dense) coordinate-update aggregation, differentiable.
 
     ``bwd_impl``/``bwd_sub_j``/``bwd_mxu_precision``: see
@@ -980,7 +1372,7 @@ def coord_update_agg(a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20,
            float(normalization_factor), tile_i, tile_j, sub_j,
            None if update_rows is None else int(update_rows),
            mxu_precision, interpret, bwd_impl, bwd_sub_j,
-           bwd_mxu_precision)
+           bwd_mxu_precision, skip_mode)
     main = (a_row, a_col, x, x0, mask, is_lig, w_d2, w_d20, type_bias,
             w2, b2, w3)
     return _coord_agg_cvjp(cfg, (main, cross, graph_mean, d2_0))

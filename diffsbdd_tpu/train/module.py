@@ -55,6 +55,7 @@ class LigandPocketDDPM:
         egnn_impl: str = "auto",
         kernel_tile_i: int = 16,
         kernel_sub_j: int = 16,
+        kernel_skip_mode: str = "bits",
         kernel_bwd: str = "auto",
         kernel_bwd_sub_j: Optional[int] = None,
         kernel_bwd_precision: Optional[str] = None,
@@ -128,6 +129,7 @@ class LigandPocketDDPM:
             impl=egnn_impl,
             kernel_tile_i=kernel_tile_i,
             kernel_sub_j=kernel_sub_j,
+            kernel_skip_mode=kernel_skip_mode,
             kernel_bwd=kernel_bwd,
             kernel_bwd_sub_j=kernel_bwd_sub_j,
             kernel_bwd_precision=kernel_bwd_precision,
@@ -480,6 +482,7 @@ def build_module_from_config(cfg, node_histogram) -> LigandPocketDDPM:
         egnn_impl=cfg.tpu.get("egnn_impl", "auto"),
         kernel_tile_i=cfg.tpu.get("kernel_tile_i", 16),
         kernel_sub_j=cfg.tpu.get("kernel_sub_j", 16),
+        kernel_skip_mode=cfg.tpu.get("kernel_skip_mode", "bits"),
         kernel_bwd=cfg.tpu.get("kernel_bwd", "auto"),
         kernel_bwd_sub_j=cfg.tpu.get("kernel_bwd_sub_j"),
         kernel_bwd_precision=cfg.tpu.get("kernel_bwd_precision"),

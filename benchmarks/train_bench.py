@@ -28,6 +28,8 @@ def main():
     p.add_argument("--bwd", default="auto",
                    help="'auto'(->pallas) | 'pallas' | 'xla' backward")
     p.add_argument("--bwd-sub-j", type=int, default=None)
+    p.add_argument("--bwd-precision", default=None,
+                   help="backward-only MXU tier (None -> same as forward)")
     p.add_argument("--precision", default="float32_x3")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
@@ -46,7 +48,8 @@ def main():
     cfg, module = _flagship_module(
         n_lig_max=24, n_pocket_max=320, T=500,
         matmul_precision=args.precision, egnn_impl=args.impl,
-        kernel_bwd=args.bwd, kernel_bwd_sub_j=args.bwd_sub_j)
+        kernel_bwd=args.bwd, kernel_bwd_sub_j=args.bwd_sub_j,
+        kernel_bwd_precision=args.bwd_precision)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
     state = create_train_state(params, lr=1e-4)
     step = make_train_step(module, lr=1e-4)
@@ -82,6 +85,53 @@ def main():
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))
+
+    # FLOP/MFU accounting (VERDICT r03 #4): hand model of the eps-net's MXU
+    # and VPU work (diffsbdd_tpu/utils/flops.py), with the standard 3x
+    # forward-FLOPs multiplier for the train step (1 forward + ~2x in the
+    # recompute-and-grad backward).  Training has no shared-pocket
+    # factorization; activity comes from the real pocket geometry.
+    mfu = {}
+    try:
+        from diffsbdd_tpu.utils.flops import (TIER_PASSES, block_activity,
+                                              eps_net_flops, mfu_report)
+        x_p = np.asarray(pocket["x"][:1])
+        m_p = np.asarray(pocket["mask"][:1])
+        n_pkt = x_p.shape[1]
+        n_pad = -(-(24 + n_pkt) // 128) * 128
+        xx = np.zeros((1, n_pad, 3), np.float32)
+        mm = np.zeros((1, n_pad), np.float32)
+        il = np.zeros((1, n_pad), np.float32)
+        xx[:, :24] = np.asarray(ligand["x"][:1])
+        xx[:, 24:24 + n_pkt] = x_p
+        mm[:, :24] = np.asarray(m_l[:1])
+        mm[:, 24:24 + n_pkt] = m_p
+        il[:, :24] = 1.0
+        act = block_activity(xx, mm, il, (None, 5.0, 5.0))
+        fl = eps_net_flops(batch=B, n_lig_rows=24, n_pocket=n_pkt,
+                           n_pad=n_pad, hidden_nf=256, n_layers=6,
+                           activity=act, shared_pocket=False)
+        fwd = mfu_report(fl, dt, args.precision)
+        bwd_passes = TIER_PASSES.get(args.bwd_precision or args.precision, 1)
+        executed = (fl["mxu_flops_pairwise"]
+                    * (TIER_PASSES.get(args.precision, 1) + 2 * bwd_passes)
+                    + 3 * fl["mxu_flops_node_level"])
+        mfu = {
+            "block_activity": round(act, 4),
+            "flops_per_train_step_model": 3 * fl["mxu_flops_total"],
+            "flops_per_train_step_mxu_executed": executed,
+            "mfu_model": round(3 * fl["mxu_flops_total"] / dt
+                               / fwd["peaks"]["mxu_f32"], 4),
+            "mxu_utilization_executed": round(
+                executed / dt / fwd["peaks"]["mxu_bf16"], 4),
+            "vpu_ops_per_train_step_est": 3 * fl["vpu_ops"],
+            "vpu_utilization_est": round(3 * fl["vpu_ops"] / dt
+                                         / fwd["peaks"]["vpu_est"], 4),
+            "note": "3x forward multiplier (fwd + recompute-and-grad bwd)",
+        }
+    except Exception as e:  # accounting must never sink a measurement
+        mfu = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "impl": args.impl, "bwd": args.bwd, "precision": args.precision,
         "batch": B,
@@ -90,6 +140,7 @@ def main():
         "samples_per_sec": round(B / dt, 2),
         "compile_s": round(compile_s, 1),
         "loss": float(info["loss"]),
+        "mfu": mfu,
     }))
 
 

@@ -239,6 +239,16 @@ def main():
         if out_path.exists():
             record = json.loads(out_path.read_text())
         print(f"resumed from step {step}", flush=True)
+    elif args.resume and out_path.exists():
+        # No checkpoint survived, but the step-0 entry is reusable: model
+        # init is pinned by torch.manual_seed(0) before construction, so a
+        # fresh-init eval at the same seed reproduces it exactly.
+        prev = json.loads(out_path.read_text())
+        record["trajectory"] = [r for r in prev.get("trajectory", [])
+                                if r["step"] == 0]
+        if record["trajectory"]:
+            print("reusing deterministic step-0 eval from previous run",
+                  flush=True)
 
     def save_progress():
         out_path.write_text(json.dumps(record, indent=1) + "\n")

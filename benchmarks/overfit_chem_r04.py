@@ -51,6 +51,7 @@ def main():
     p.add_argument("--n-eval", type=int, default=16)
     p.add_argument("--n-eval-final", type=int, default=32)
     p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--joint-nf", type=int, default=128)
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--T", type=int, default=500)
     p.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
@@ -63,6 +64,7 @@ def main():
 
     if args.tiny:
         args.hidden, args.layers, args.T = 32, 2, 20
+        args.joint_nf = 16
         args.n_eval, args.n_eval_final = 4, 4
 
     if args.device == "cpu":
@@ -102,7 +104,7 @@ def main():
         "augment_rotation": True,
         "augment_noise": args.augment_noise,
         "egnn_params": {
-            "joint_nf": 128 if not args.tiny else 16,
+            "joint_nf": args.joint_nf,
             "hidden_nf": args.hidden, "n_layers": args.layers,
             "attention": True, "tanh": True, "norm_constant": 1,
             "inv_sublayers": 1, "reflection_equivariant": False,
@@ -244,7 +246,7 @@ def main():
     meta.update(step=int(best_state.step),
                 selection_metrics=record["best"],
                 reeval_metrics=record["best_reeval"],
-                joint_nf=128 if not args.tiny else 16,
+                joint_nf=args.joint_nf,
                 n_lig_max=56, n_pocket_max=320)
     fixture.with_suffix(".json").write_text(json.dumps(meta, indent=1) + "\n")
     record["fixture"] = str(fixture.relative_to(REPO))

@@ -59,10 +59,11 @@ def chain_equality(T, batch=8):
             n2=np.asarray(pocket["size"]), rng=rng_np)
         num_nodes = np.clip(num_nodes, 8, 24)
         lig_mask = jnp.asarray(num_nodes_to_mask(num_nodes, 24))
-        out = module.ddpm.sample_given_pocket_segmented(
+        xh_lig, _ = module.ddpm.sample_given_pocket_segmented(
             params, jax.random.PRNGKey(7), pocket, lig_mask,
             timesteps=T, segment=50, shared_pocket=True)
-        x, h = np.asarray(out[0]), np.asarray(out[1])
+        xh_lig = np.asarray(xh_lig)
+        x, h = xh_lig[..., :3], xh_lig[..., 3:]
         m = np.asarray(lig_mask)[..., None]
         outs[mode] = (x * m, h * m, m)
     (xb, hb, m), (xc, hc, _) = outs["bits"], outs["compact"]

@@ -57,6 +57,11 @@ def main():
     p.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--select-last", action="store_true",
+                   help="export the FINAL state as the fixture instead of "
+                        "the best-validity checkpoint (validity on 16 "
+                        "samples is noise-dominated at this task; the "
+                        "trained-sanity fixture wants convergence)")
     p.add_argument("--outdir", type=Path,
                    default=Path("/tmp/diffsbdd_overfit_r04"))
     p.add_argument("--tag", default="r04")
@@ -160,8 +165,12 @@ def main():
             prev = json.loads(out_path.read_text())
             record["trajectory"] = [r for r in prev.get("trajectory", [])
                                     if r["step"] <= step]
-            record["best"] = prev.get("best")
-            if record["best"]:
+            # re-derive best from the trajectory (selection rules may have
+            # changed between chunks); step 0 never qualifies — see below
+            cands = [r for r in record["trajectory"] if r["step"] > 0]
+            if cands:
+                record["best"] = max(
+                    cands, key=lambda r: (r["Validity"], r["Connectivity"]))
                 best_key_metric = (record["best"]["Validity"],
                                    record["best"]["Connectivity"])
         print(f"resumed from step {step}", flush=True)
@@ -205,7 +214,11 @@ def main():
             m["wall_s"] = round(time.time() - t_start, 1)
             record["trajectory"].append(m)
             key_metric = (m["Validity"], m["Connectivity"])
-            if key_metric > best_key_metric:
+            # the fresh init (step 0) is excluded from selection: its high
+            # "validity" is tiny-fragment soup passing the valence check
+            # (Connectivity 0.03, GEOMETRY_PROBE.json) — selecting it would
+            # export an untrained net as the "best" artifact
+            if step > 0 and key_metric > best_key_metric:
                 best_key_metric = key_metric
                 record["best"] = dict(m)
                 save_model(ckpt_dir, module, state, cfg, name="bestv")
@@ -233,7 +246,8 @@ def main():
                   f"({rate:.1f} samples/s)", flush=True)
 
     # honest re-eval of the selected checkpoint: fresh key, more samples
-    _, best_state, _ = load_model(ckpt_dir, name="bestv", lr=args.lr)
+    sel_name = "last" if args.select_last else "bestv"
+    _, best_state, _ = load_model(ckpt_dir, name=sel_name, lr=args.lr)
     record["best_reeval"] = evaluate(
         best_state.params, jax.random.PRNGKey(20_000), args.n_eval_final,
         "fresh-key re-eval")

@@ -341,7 +341,7 @@ def _assemble(runs, workloads, smoke, bf16_evidence, final):
     if best_key.endswith("_bf16"):
         headline_precision = (
             "bfloat16 fast tier (chem-validated vs float32_x2, "
-            "PRECISION_r03.json: deltas " + json.dumps(bf16_evidence) + ")")
+            "PRECISION_r04.json: deltas " + json.dumps(bf16_evidence) + ")")
     else:
         headline_precision = "float32_x2 (chain-validated, PRECISION_r02.json)"
 

@@ -63,6 +63,54 @@ def main():
     def sync(s):
         jax.tree_util.tree_leaves(s.params)[0].block_until_ready()
 
+    def mfu_for(dt, B, ligand, pocket, bwd_precision=None):
+        """FLOP/MFU accounting per point (VERDICT r03 #4) — the same hand
+        model as train_bench.py: 3x forward-FLOPs for the train step
+        (forward + recompute-and-grad backward), activity from the real
+        pocket geometry.  Accounting must never sink a measurement."""
+        try:
+            from diffsbdd_tpu.utils.flops import (TIER_PASSES,
+                                                  block_activity,
+                                                  eps_net_flops, mfu_report)
+            x_p = np.asarray(pocket["x"][:1])
+            m_p = np.asarray(pocket["mask"][:1])
+            n_pkt = x_p.shape[1]
+            n_pad = -(-(24 + n_pkt) // 128) * 128
+            xx = np.zeros((1, n_pad, 3), np.float32)
+            mm = np.zeros((1, n_pad), np.float32)
+            il = np.zeros((1, n_pad), np.float32)
+            xx[:, :24] = np.asarray(ligand["x"][:1])
+            xx[:, 24:24 + n_pkt] = x_p
+            mm[:, :24] = np.asarray(ligand["mask"][:1])
+            mm[:, 24:24 + n_pkt] = m_p
+            il[:, :24] = 1.0
+            act = block_activity(xx, mm, il, (None, 5.0, 5.0))
+            fl = eps_net_flops(batch=B, n_lig_rows=24, n_pocket=n_pkt,
+                               n_pad=n_pad, hidden_nf=256, n_layers=6,
+                               activity=act, shared_pocket=False)
+            fwd = mfu_report(fl, dt, args.precision)
+            bwd_passes = TIER_PASSES.get(bwd_precision or args.precision, 1)
+            executed = (fl["mxu_flops_pairwise"]
+                        * (TIER_PASSES.get(args.precision, 1)
+                           + 2 * bwd_passes)
+                        + 3 * fl["mxu_flops_node_level"])
+            return {
+                "block_activity": round(act, 4),
+                "flops_per_train_step_model": 3 * fl["mxu_flops_total"],
+                "flops_per_train_step_mxu_executed": executed,
+                "mfu_model": round(3 * fl["mxu_flops_total"] / dt
+                                   / fwd["peaks"]["mxu_f32"], 4),
+                "mxu_utilization_executed": round(
+                    executed / dt / fwd["peaks"]["mxu_bf16"], 4),
+                "vpu_ops_per_train_step_est": 3 * fl["vpu_ops"],
+                "vpu_utilization_est": round(3 * fl["vpu_ops"] / dt
+                                             / fwd["peaks"]["vpu_est"], 4),
+                "note": "3x forward multiplier (fwd + recompute-and-grad "
+                        "bwd)",
+            }
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}"[:200]}
+
     points = {}
     for i, B in enumerate(args.batches):
         if i:
@@ -86,6 +134,7 @@ def main():
                 "samples_per_sec": round(B / dt, 2),
                 "compile_s": round(compile_s, 1),
                 "loss": round(float(info["loss"]), 4),
+                "mfu": mfu_for(dt, B, ligand, pocket),
             }
             print(f"b{B}: {json.dumps(points[f'b{B}'])}", flush=True)
         except Exception as e:
@@ -127,6 +176,8 @@ def main():
                 "loss": round(float(info["loss"]), 4),
                 "speedup_vs_default_bwd": round(
                     (B / dt) / ok[best]["samples_per_sec"], 3),
+                "mfu": mfu_for(dt, B, ligand, pocket,
+                               bwd_precision=args.ab_bwd_precision),
             }
             print(f"bwd-ab: {json.dumps(bwd_ab)}", flush=True)
         except Exception as e:
@@ -169,6 +220,7 @@ def main():
                 "loss": round(float(infos["loss"][-1]), 4),
                 "speedup_vs_single_dispatch": round(
                     (B / dt) / ok[best]["samples_per_sec"], 3),
+                "mfu": mfu_for(dt, B, ligand, pocket),
             }
             print(f"chain-ab: {json.dumps(chain_ab)}", flush=True)
         except Exception as e:

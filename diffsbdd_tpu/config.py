@@ -119,10 +119,11 @@ _DEFAULTS: Dict[str, Any] = {
         "kernel_tile_i": 16,      # fused-kernel row-tile height; 16 beats 32
                                   # at chain level (56.5 vs 59.4 ms/step, B=32)
         "kernel_skip_mode": "compact",  # 'compact' (prefetched active-block
-        # index lists — 1.20x over 'bits' at chain level, 31.2 vs 37.4
-        # ms/step at B=32 bf16, benchmarks/SKIP_AB_r04.json; full-T500
-        # bits-vs-compact deviation 1.5e-4 A, 0 type flips) | 'bits'
-        # (per-column-block scalar predicates, the r03 configuration)
+        # index lists; no per-inactive-block branches — 1.016x over the
+        # bits path at the same sub_j=16, 31.03 vs 31.53 ms/step at B=32
+        # bf16, alternating A/B benchmarks/SKIP_AB_bits16_r04.json;
+        # full-T500 bits-vs-compact deviation 1.5e-4 A, 0 type flips)
+        # | 'bits' (per-column-block scalar predicates, the r03 path)
         "kernel_sub_j": 16,       # cutoff-skip granularity; 16 beats 32 with
                                   # prefetched bits (47.2 vs 50.7 ms/step)
         "kernel_bwd": "auto",     # training backward: 'auto'(->pallas) |

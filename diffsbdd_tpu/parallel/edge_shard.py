@@ -58,6 +58,25 @@ def make_edge_mesh(n_shards: int = -1, devices=None,
     return Mesh(np.asarray(devices[:n_shards]), (axis,))
 
 
+def make_dp_edge_mesh(n_data: int, n_edge: int, devices=None,
+                      axes=("data", EDGE_AXIS)) -> Mesh:
+    """2-D mesh composing data parallelism with edge-axis sharding.
+
+    The batch shards over ``axes[0]`` (gradient/batch collectives ride that
+    axis, as in parallel/mesh.py) while the pairwise column axis shards
+    over ``axes[1]`` — per-device pairwise memory is O(N^2 / n_edge) AND
+    per-device batch is B / n_data.  On hardware, lay ``n_edge`` along the
+    faster/inner ICI dimension: the per-aggregation psum of (B, N, F)
+    activations is the hot collective."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_edge
+    if need > len(devices):
+        raise ValueError(
+            f"requested a {n_data}x{n_edge} data-x-edge mesh but only "
+            f"{len(devices)} devices are visible")
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_edge), axes)
+
+
 def _pad_pocket(xh_pkt, mask_pkt, n_lig: int, n_shards: int):
     """Pad the pocket node axis so the concatenated axis N = NL + NP is a
     multiple of the shard count (padding nodes carry mask 0 — every op in
@@ -70,7 +89,8 @@ def _pad_pocket(xh_pkt, mask_pkt, n_lig: int, n_shards: int):
     return xh_pkt, mask_pkt, pad
 
 
-def edge_sharded_dynamics(dynamics, mesh: Mesh, axis: str = EDGE_AXIS):
+def edge_sharded_dynamics(dynamics, mesh: Mesh, axis: str = EDGE_AXIS,
+                          batch_axis: Optional[str] = None):
     """Wrap an ``EGNNDynamics`` module into a column-sharded apply.
 
     Returns ``fn(variables, xh_lig, xh_pkt, t, mask_lig, mask_pkt)`` with
@@ -78,8 +98,16 @@ def edge_sharded_dynamics(dynamics, mesh: Mesh, axis: str = EDGE_AXIS):
     with the O(N^2) pairwise work sharded over ``mesh``'s ``axis``.  All
     inputs and outputs are replicated; jit-compatible (wrap in jax.jit for
     production use).
+
+    ``batch_axis``: optional second mesh axis (see ``make_dp_edge_mesh``)
+    that the BATCH dimension of every array argument shards over — data
+    parallelism composed with edge sharding in one shard_map.  Parameters
+    stay replicated; the per-aggregation psum runs over ``axis`` only, so
+    the two axes never exchange data except through the caller's own
+    gradient reduction.  The batch must divide ``mesh.shape[batch_axis]``.
     """
     n_shards = mesh.shape[axis]
+    b = P(batch_axis) if batch_axis is not None else P()
 
     def apply_fn(variables, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
         NL = xh_lig.shape[1]
@@ -88,8 +116,8 @@ def edge_sharded_dynamics(dynamics, mesh: Mesh, axis: str = EDGE_AXIS):
         width = (NL + xh_pkt_p.shape[1]) // n_shards
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(), P(), P(), P(), P(), P()),
-                 out_specs=(P(), P()), check_vma=False)
+                 in_specs=(P(), b, b, b, b, b),
+                 out_specs=(b, b), check_vma=False)
         def sharded(variables, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
             shard_ctx = {"axis": axis,
                          "index": jax.lax.axis_index(axis),

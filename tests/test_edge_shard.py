@@ -130,3 +130,35 @@ def test_sharded_dynamics_gradients_match():
     for a, b in zip(flat_ref, flat_shard):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_dp_x_edge_mesh_matches_unsharded():
+    """Composed 2-D (data x edge) mesh: batch sharded over 'data', pairwise
+    columns over 'edge' — values AND gradients equal the unsharded apply
+    (the dryrun_multichip dp_x_edge tier runs this same composition)."""
+    from diffsbdd_tpu.parallel.edge_shard import make_dp_edge_mesh
+
+    key = jax.random.PRNGKey(7)
+    inputs = _inputs(key, B=4)  # divides the 4-way data axis
+    dyn = _model(update_pocket_coords=False)
+    variables = dyn.init(jax.random.PRNGKey(8), *inputs)
+
+    mesh = make_dp_edge_mesh(4, 2)
+    sharded = edge_sharded_dynamics(dyn, mesh, batch_axis="data")
+
+    ref_lig, ref_pkt = dyn.apply(variables, *inputs)
+    got_lig, got_pkt = jax.jit(sharded)(variables, *inputs)
+    np.testing.assert_allclose(np.asarray(got_lig), np.asarray(ref_lig),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_pkt), np.asarray(ref_pkt),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(apply_fn, variables):
+        eps_lig, eps_pkt = apply_fn(variables, *inputs)
+        return jnp.sum(eps_lig ** 2) + jnp.sum(eps_pkt ** 2)
+
+    g_ref = jax.grad(lambda v: loss(dyn.apply, v))(variables)
+    g_shard = jax.jit(jax.grad(lambda v: loss(sharded, v)))(variables)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_shard)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-3)

@@ -18,15 +18,54 @@ from diffsbdd_tpu.chem.molecule import SimpleMol
 from diffsbdd_tpu.chem.sdfio import write_sdf_file
 
 QVINA_STUB = """#!/bin/sh
-# echo a plausible QuickVina2 result table; score derived from center_x so
-# different ligands get different scores
+# Emit the VERBATIM stdout shape of a real qvina2.1 run (banner, warnings,
+# progress lines, multi-mode result table, trailing writer line) so the
+# parser is exercised against the full transcript, not just the table.
+# Score derived from center_x so different ligands get different scores.
 cx=0
 while [ $# -gt 0 ]; do
   if [ "$1" = "--center_x" ]; then cx=$2; fi
   shift
 done
-echo "-----+------------+----------+----------"
-echo "   1       -$(echo $cx | tr -d '-.' | cut -c1).5      0.000      0.000"
+s=$(echo $cx | sed 's/[^0-9]//g' | cut -c1)
+cat <<TRANSCRIPT
+#################################################################
+# If you used QuickVina 2 in your work, please cite:            #
+#                                                               #
+# Amr Alhossary, Stephanus Daniel Handoko, Yuguang Mu, and      #
+# Chee-Keong Kwoh,Fast, Accurate, and Reliable Molecular        #
+# Docking with QuickVina 2, Bioinformatics (2015),              #
+# DOI: 10.1093/bioinformatics/btv082                            #
+#                                                               #
+#################################################################
+
+WARNING: The search space volume > 27000 Angstrom^3 (See FAQ)
+Detected 4 CPUs
+WARNING: at low exhaustiveness, it may be impossible to utilize all CPUs
+Reading input ... done.
+Setting up the scoring function ... done.
+Analyzing the binding site ... done.
+Using random seed: 1897734054
+Performing search ... done.
+Refining results ... done.
+
+mode |   affinity | dist from best mode
+     | (kcal/mol) | rmsd l.b.| rmsd u.b.
+-----+------------+----------+----------
+   1         -$s.5      0.000      0.000
+   2         -$s.1      1.827      3.587
+   3         -2.9      2.355      4.210
+Writing output ... done.
+TRANSCRIPT
+"""
+
+QVINA_FAIL_STUB = """#!/bin/sh
+# a run that dies before producing a result table (e.g. pdbqt parse error)
+echo "Detected 4 CPUs"
+echo "Reading input ..."
+echo ""
+echo "Parse error on line 7 in file \\"lig.pdbqt\\": Unknown or inappropriate tag" 1>&2
+exit 1
 """
 
 OBABEL_STUB = """#!/bin/sh
@@ -81,6 +120,32 @@ def test_qvina2_score_single_sdf(stub_binaries, tmp_path):
     scores = docking.calculate_qvina2_score(rec, sdf, tmp_path / "out")
     assert len(scores) == 2
     assert all(np.isfinite(s) and s < 0 for s in scores)
+
+
+def test_qvina2_parses_full_transcript_exactly(stub_binaries, tmp_path):
+    """The stub emits the complete qvina2.1 stdout (banner + warnings +
+    progress + 3-mode table + trailing line); the parser must pull mode 1's
+    affinity — matching the reference's index-the-separator semantics
+    (analysis/docking.py:110-113)."""
+    sdf = tmp_path / "lig.sdf"
+    write_sdf_file(sdf, [_mol(3)])  # center_x ~ 30 -> stub affinity -3.5
+    rec = tmp_path / "rec.pdbqt"
+    rec.write_text("REMARK receptor\n")
+    scores = docking.calculate_qvina2_score(rec, sdf, tmp_path / "out")
+    assert scores == [-3.5]
+
+
+def test_qvina2_failed_run_reports_nan(stub_binaries, tmp_path):
+    """A qvina run that dies before the result table (pdbqt parse error)
+    must yield nan for that ligand, not crash the batch."""
+    qvina = stub_binaries / "qvina2.1"
+    qvina.write_text(QVINA_FAIL_STUB)
+    sdf = tmp_path / "lig.sdf"
+    write_sdf_file(sdf, [_mol(1)])
+    rec = tmp_path / "rec.pdbqt"
+    rec.write_text("REMARK receptor\n")
+    scores = docking.calculate_qvina2_score(rec, sdf, tmp_path / "out")
+    assert len(scores) == 1 and np.isnan(scores[0])
 
 
 def test_batch_cli_moad_layout(stub_binaries, tmp_path):

@@ -429,6 +429,22 @@ def main():
                                    egnn_impl=impl, **model_kw)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)
 
+    # Sampling-validated tile override (benchmarks/TILE_AB_r04.json):
+    # tile_i=8 is 3.3% faster than the default 16 at B<=32 under the
+    # compact skip mode (30.04 vs 31.04 ms/step, alternating A/B,
+    # bit-identical full chains — TILE_AB_checks_r04.json).  It is NOT the
+    # global default because the compact index prefetch exceeds the 1 MB
+    # SMEM budget at B=64 (u8[1.5M] operand) — B=64 points keep tile 16.
+    module_t8 = None
+    if not smoke:
+        try:
+            _, module_t8 = _flagship_module(
+                n_lig_max=n_lig, n_pocket_max=320, T=T,
+                matmul_precision="float32_x2", egnn_impl=impl,
+                kernel_tile_i=8, **model_kw)
+        except Exception:
+            module_t8 = None
+
     # bfloat16 fast tier: eligible as headline only with recorded
     # metric-level evidence that bf16 samples are chemically
     # indistinguishable (benchmarks/precision_chem_ab.py writes
@@ -467,7 +483,8 @@ def main():
         try:
             _, mod16 = _flagship_module(
                 n_lig_max=n_lig, n_pocket_max=320, T=T,
-                matmul_precision="bfloat16", egnn_impl=impl, **model_kw)
+                matmul_precision="bfloat16", egnn_impl=impl,
+                kernel_tile_i=8, **model_kw)
         except Exception as e:
             runs["bf16"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     order = []
@@ -475,10 +492,11 @@ def main():
         order = [(f"b{b}", module, b, 2, "float32", True)
                  for b in batches]
     else:
-        order.append(("b32", module, 32, 6, "float32_x2", True))
+        m32 = module_t8 if module_t8 is not None else module
+        order.append(("b32", m32, 32, 6, "float32_x2", True))
         if mod16 is not None:
             order.append(("b32_bf16", mod16, 32, 6, "bfloat16", True))
-        order += [("b8", module, 8, 4, "float32_x2", False),
+        order += [("b8", m32, 8, 4, "float32_x2", False),
                   ("b64", module, 64, 4, "float32_x2", False)]
     sweep_t0 = time.monotonic()
     for i, (key, mod, b, reps, tier, is_headline) in enumerate(order):

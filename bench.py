@@ -63,12 +63,64 @@ BASELINE_NOTE = ("A100 baseline 0.5 mol/s = measured single-core CPU "
 # latest emitted record, re-flushed by signal handlers
 _LATEST: dict = {}
 
+# VERDICT r04 weak #1: the driver parses the LAST ~2000 chars of stdout.
+# r04's final record (full sweep + per-point MFU blocks) outgrew that
+# window, so the head of the line — metric/value — was cut off and the
+# round's headline parsed as null.  Protocol now: the full record goes to
+# benchmarks/BENCH_FULL_LAST.json; every stdout line is a COMPACT headline
+# record hard-capped at 1500 bytes (tests/test_bench_protocol.py pins it).
+MAX_STDOUT_RECORD_BYTES = 1500
+FULL_RECORD_PATH = REPO / "benchmarks" / "BENCH_FULL_LAST.json"
+
+# compact-record field order: required schema fields first, then optional
+# context fields dropped (in reverse order) if the cap is ever threatened
+_COMPACT_REQUIRED = ("metric", "value", "unit", "vs_baseline",
+                     "vs_measured_cpu_reference", "batch", "ms_per_step",
+                     "mfu_model", "provisional")
+_COMPACT_OPTIONAL = ("precision", "headline_stable", "stability",
+                     "smoke_mode", "provisional_reason", "error",
+                     "terminated_early", "baseline_note", "full_record")
+_COMPACT_TRUNCATE = {"precision": 110, "provisional_reason": 140,
+                     "error": 140, "terminated_early": 140,
+                     "baseline_note": 150}
+
+
+def _compact(full: dict) -> dict:
+    """Derive the <=1500-byte stdout headline record from a full record."""
+    rec = {}
+    for k in _COMPACT_REQUIRED:
+        if k == "batch":
+            rec[k] = full.get("headline_batch", full.get("batch", 0))
+        elif k == "provisional":
+            rec[k] = bool(full.get("provisional", False))
+        else:
+            rec[k] = full.get(k, 0.0 if k in ("value", "vs_baseline")
+                              else "")
+    for k in _COMPACT_OPTIONAL:
+        if k in full and full[k] is not None:
+            v = full[k]
+            if isinstance(v, str) and k in _COMPACT_TRUNCATE:
+                v = v[:_COMPACT_TRUNCATE[k]]
+            rec[k] = v
+    rec["full_record"] = "benchmarks/BENCH_FULL_LAST.json"
+    # enforce the cap: drop optional fields (least important last) until fit
+    line = json.dumps(rec)
+    drop = list(_COMPACT_OPTIONAL)
+    while len(line.encode()) > MAX_STDOUT_RECORD_BYTES and drop:
+        rec.pop(drop.pop(), None)
+        line = json.dumps(rec)
+    return rec
+
 
 def _emit(record: dict) -> None:
-    """Print one full JSON record line and remember it for signal flushes."""
+    """Persist the full record to benchmarks/, print the compact line."""
     _LATEST.clear()
     _LATEST.update(record)
-    print(json.dumps(record), flush=True)
+    try:
+        FULL_RECORD_PATH.write_text(json.dumps(record, indent=1))
+    except Exception:
+        pass  # emission must never fail on a read-only/odd filesystem
+    print(json.dumps(_compact(record)), flush=True)
 
 
 def _last_recorded() -> dict:
@@ -91,6 +143,11 @@ def _emit_startup_provisional() -> None:
         "value": last.get("value", 0.0),
         "unit": "mol/s",
         "vs_baseline": last.get("vs_baseline", 0.0),
+        "vs_measured_cpu_reference": round(
+            last.get("value", 0.0) / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
+        "batch": last.get("batch", 0),
+        "ms_per_step": last.get("ms_per_step"),
+        "precision": last.get("precision", ""),
         "provisional": True,
         "provisional_reason": "startup record emitted before any "
                               "measurement; a later JSON line supersedes "
@@ -355,6 +412,10 @@ def _assemble(runs, workloads, smoke, bf16_evidence, final):
             mols_per_sec / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
         "baseline_note": BASELINE_NOTE,
         "headline_batch": runs[best_key]["batch"],
+        "ms_per_step": runs[best_key].get("ms_per_step"),
+        "mfu_model": (round(runs[best_key]["mfu"]["mfu_model"], 4)
+                      if isinstance(runs[best_key].get("mfu"), dict)
+                      and "mfu_model" in runs[best_key]["mfu"] else None),
         "headline_stable": bool(runs[best_key].get("stable", True)),
         "precision": headline_precision,
         "runs": {k: {kk: round(vv, 4) if isinstance(vv, float) else vv
@@ -575,6 +636,11 @@ def _emit_failure(reason: str):
         "value": last.get("value", 0.0),
         "unit": "mol/s",
         "vs_baseline": last.get("vs_baseline", 0.0),
+        "vs_measured_cpu_reference": round(
+            last.get("value", 0.0) / TORCH_CPU_MEASURED_MOL_PER_SEC, 1),
+        "batch": last.get("batch", 0),
+        "ms_per_step": last.get("ms_per_step"),
+        "precision": last.get("precision", ""),
         "provisional": True,
         "provisional_reason": "no live measurement completed this run; "
                               "value is the last recorded TPU number",

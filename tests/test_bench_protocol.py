@@ -68,19 +68,36 @@ def test_sigkill_leaves_parseable_tail():
 
 
 def test_full_smoke_emits_progressive_then_final_records():
-    """Natural completion: provisional startup line, >=1 snapshot, final."""
+    """Natural completion: provisional startup line, >=1 snapshot, final.
+
+    VERDICT r04 weak #1: every stdout line must be a COMPACT record (the
+    driver reads only the last ~2000 chars of the tail), with the full
+    sweep detail in benchmarks/BENCH_FULL_LAST.json.
+    """
     proc = _spawn_smoke()
     out, _ = proc.communicate(timeout=540)
     assert proc.returncode == 0
-    lines = [json.loads(ln) for ln in out.strip().splitlines() if ln.strip()]
+    raw_lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    lines = [json.loads(ln) for ln in raw_lines]
     assert len(lines) >= 3
     assert lines[0]["provisional"] is True
     final = lines[-1]
-    assert "provisional" not in final
+    assert final["provisional"] is False
     assert final["smoke_mode"] is True
     assert final["value"] > 0
-    # VERDICT #7: stats fields present, no wall_s_half_T anywhere
-    for r in final["runs"].values():
+    # VERDICT r04 #1 done-criterion: the last line parses ALONE and fits
+    # the 1500-byte cap (and so does every other line)
+    for ln in raw_lines:
+        assert len(ln.encode()) <= 1500, f"stdout record too big: {len(ln)}B"
+    for k in ("metric", "value", "unit", "vs_baseline",
+              "vs_measured_cpu_reference", "batch", "ms_per_step",
+              "provisional"):
+        assert k in final, f"compact final record missing {k}"
+    # full detail (per-run stats + MFU blocks) lives in the full-record file
+    full = json.loads((REPO / "benchmarks" / "BENCH_FULL_LAST.json")
+                      .read_text())
+    assert full["value"] == final["value"]
+    for r in full["runs"].values():
         assert "wall_s_half_T" not in r
         if "mol_per_sec" in r:
             assert "iqr_over_median" in r and "stable" in r
@@ -89,6 +106,33 @@ def test_full_smoke_emits_progressive_then_final_records():
     for snap in lines[1:-1]:
         assert snap["provisional"] is True
         assert snap["value"] > 0
+
+
+@pytest.mark.quick
+def test_compact_record_cap_under_bloat():
+    """_compact must stay <=1500 bytes even for a pathological full record."""
+    sys.path.insert(0, str(REPO))
+    import bench
+    full = {
+        "metric": "molecules_per_sec_per_chip_T500", "value": 2.1254,
+        "unit": "mol/s", "vs_baseline": 4.251,
+        "vs_measured_cpu_reference": 557.9, "headline_batch": 32,
+        "ms_per_step": 30.11, "mfu_model": 0.497,
+        "precision": "x" * 5000, "provisional_reason": "y" * 5000,
+        "error": "z" * 5000, "baseline_note": "w" * 5000,
+        "runs": {f"b{i}": {"mfu": {"k": "v" * 500}} for i in range(50)},
+        "workloads": {"j": {"detail": "d" * 10000}},
+    }
+    rec = bench._compact(full)
+    line = json.dumps(rec)
+    assert len(line.encode()) <= 1500
+    parsed = json.loads(line)
+    assert parsed["value"] == 2.1254
+    assert parsed["batch"] == 32
+    assert parsed["ms_per_step"] == 30.11
+    assert parsed["mfu_model"] == 0.497
+    assert parsed["provisional"] is False
+    assert "runs" not in parsed and "workloads" not in parsed
 
 
 @pytest.mark.quick

@@ -1,26 +1,25 @@
-"""Converge the best checkpoint this host allows (VERDICT r03 #5).
+"""Synthetic-corpus generative-quality proof (VERDICT r04 next #2).
 
-Round-3's 42k-step overfit minimized loss but slid to Validity 0.125 (the
-high-t funnel overspreads when the train set is two complexes).  This run
-attacks sample quality directly:
+Round 4 settled that two training complexes collapse BOTH this rebuild and
+the PyTorch reference (OVERFIT_AB_r04.json) — a clean negative control.
+This run supplies the missing positive: train the flagship config on a
+corpus of thousands of distinct, EDM-verified synthetic complexes
+(diffsbdd_tpu/data/synth_corpus.py: valence-correct graphs from the
+CrossDocked histograms, coordinates embedded from the bond-length tables,
+pockets carved from the real example proteins) and show the framework
+reaches reference-grade Validity/Connectivity on HELD-OUT pockets from a
+protein the model never saw.
 
-* coordinate-noise augmentation (``augment_noise``; rotation augmentation is
-  a no-op for an E(3)-equivariant eps-net, so jitter is the real
-  regularizer — reference stubs both, lightning_modules.py:338-347),
-* periodic VALIDITY evaluation with best-checkpoint selection on the
-  sampling metrics (validity, then connectivity) rather than val loss —
-  the quantity the reference's test harness actually reports
-  (test.py:102-135),
-* a final honest re-eval of the selected checkpoint at a fresh PRNG key
-  and a larger sample count.
+Corpus ceiling is Validity 1.0 / Connectivity 1.0 by construction (every
+training molecule round-trips the EDM perception kernel), so the result is
+directly interpretable against the VERDICT bar (Validity >= 0.8,
+Connectivity >= 0.5).
 
-Flagship model size (hidden 256 / 6 layers, the bench.py headline config)
-so the resulting checkpoint also carries PRECISION_r04's bf16 A/B.
-Exports the selected params as a compact fp16 .npz for the committed
-trained-sanity fixture (tests/test_trained_sanity.py).
+    python benchmarks/synth_quality_r05.py --steps 20000           # TPU
+    python benchmarks/synth_quality_r05.py --tiny --device cpu     # smoke
 
-    python benchmarks/overfit_chem_r04.py --steps 12000        # TPU
-    python benchmarks/overfit_chem_r04.py --tiny --device cpu  # smoke
+Writes benchmarks/SYNTH_QUALITY_r05.json, checkpoints under --outdir, and
+a committable fp16 params fixture under checkpoints/.
 """
 from __future__ import annotations
 
@@ -37,19 +36,39 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "benchmarks"))
 
 from overfit_ab_reference import lr_at  # shared 50%/80% anneal
-from overfit_demo import build_dataset
+
+
+def build_or_load_corpus(datadir: Path, n_train, n_val, n_test, seed,
+                         force=False):
+    from diffsbdd_tpu.data.synth_corpus import build_corpus
+    meta_path = datadir / "meta.json"
+    if meta_path.exists() and not force:
+        meta = json.loads(meta_path.read_text())
+        if meta.get("n_train") == n_train and meta.get("seed") == seed:
+            print(f"corpus cached: {meta_path}", flush=True)
+            return meta
+    t0 = time.time()
+    meta = build_corpus(datadir, n_train=n_train, n_val=n_val,
+                        n_test=n_test, seed=seed)
+    meta["build_s"] = round(time.time() - t0, 1)
+    print(f"corpus built in {meta['build_s']}s: {json.dumps(meta)}",
+          flush=True)
+    return meta
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--steps", type=int, default=20000)
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--replicas", type=int, default=64)
+    p.add_argument("--n-train", type=int, default=3000)
+    p.add_argument("--n-val", type=int, default=64)
+    p.add_argument("--n-test", type=int, default=128)
+    p.add_argument("--corpus-seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--augment-noise", type=float, default=0.05)
-    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--augment-noise", type=float, default=0.0)
+    p.add_argument("--eval-every", type=int, default=1000)
     p.add_argument("--n-eval", type=int, default=16)
-    p.add_argument("--n-eval-final", type=int, default=32)
+    p.add_argument("--n-eval-final", type=int, default=64)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--joint-nf", type=int, default=128)
     p.add_argument("--layers", type=int, default=6)
@@ -57,20 +76,18 @@ def main():
     p.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--select-last", action="store_true",
-                   help="export the FINAL state as the fixture instead of "
-                        "the best-validity checkpoint (validity on 16 "
-                        "samples is noise-dominated at this task; the "
-                        "trained-sanity fixture wants convergence)")
+    p.add_argument("--select-last", action="store_true")
     p.add_argument("--outdir", type=Path,
-                   default=Path("/tmp/diffsbdd_overfit_r04"))
-    p.add_argument("--tag", default="r04")
+                   default=Path("/tmp/diffsbdd_synth_r05"))
+    p.add_argument("--tag", default="r05")
     args = p.parse_args()
 
     if args.tiny:
         args.hidden, args.layers, args.T = 32, 2, 20
         args.joint_nf = 16
+        args.n_train, args.n_val, args.n_test = 12, 4, 4
         args.n_eval, args.n_eval_final = 4, 4
+        args.eval_every = max(args.eval_every, args.steps)
 
     if args.device == "cpu":
         import jax
@@ -92,13 +109,15 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     datadir = args.outdir / "data"
-    print("building dataset...", flush=True)
-    hist = build_dataset(datadir, args.replicas)
+    corpus_meta = build_or_load_corpus(
+        datadir, args.n_train, args.n_val, args.n_test, args.corpus_seed)
+
+    hist = np.load(datadir / "size_distribution.npy")
 
     impl = "auto" if args.device == "tpu" else "xla"
     precision = "float32_x2" if args.device == "tpu" else "float32"
     cfg = load_config(overrides={
-        "run_name": f"overfit_chem_{args.tag}",
+        "run_name": f"synth_quality_{args.tag}",
         "logdir": str(args.outdir / "runs"),
         "dataset": "crossdock_full",
         "mode": "pocket_conditioning",
@@ -117,20 +136,26 @@ def main():
             "edge_cutoff_interaction": 5.0},
         "diffusion_params": {"diffusion_steps": args.T,
                              "normalize_factors": [1, 4]},
-        "tpu": {"n_lig_max": 56, "n_pocket_max": 320,
+        "tpu": {"n_lig_max": 32, "n_pocket_max": 320,
                 "matmul_precision": precision, "egnn_impl": impl},
     })
     module = build_module_from_config(cfg, hist)
 
     train_ds = LigandPocketDataset(datadir / "train.npz")
     val_ds = LigandPocketDataset(datadir / "val.npz")
+    test_ds = LigandPocketDataset(datadir / "test.npz")
     rng_np = np.random.default_rng(cfg.seed)
     loader = PaddedLoader(train_ds, args.batch,
                           lig_bucket=cfg.tpu.lig_bucket,
                           pocket_bucket=cfg.tpu.pocket_bucket,
                           shuffle=True, rng=rng_np)
+    # selection evaluator: held-out VAL pockets (5ndu — protein never in
+    # training); final evaluator: held-out TEST pockets, same protein but
+    # disjoint carve sites and fresh keys
     evaluator = SamplingEvaluator(module, dataset=val_ds,
                                   outdir=args.outdir / "eval")
+    test_evaluator = SamplingEvaluator(module, dataset=test_ds,
+                                       outdir=args.outdir / "eval_test")
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
@@ -138,22 +163,25 @@ def main():
     state = create_train_state(params, lr=args.lr)
 
     ckpt_dir = Path(cfg.logdir) / cfg.run_name / "checkpoints"
-    out_path = REPO / "benchmarks" / f"OVERFIT_CHEM_{args.tag}.json"
+    out_path = REPO / "benchmarks" / f"SYNTH_QUALITY_{args.tag}.json"
     record = {
-        "workload": "best-validity overfit, 2 example complexes",
+        "workload": "flagship training on the synthetic EDM-verified "
+                    "corpus; held-out-protein pocket evaluation",
+        "corpus": corpus_meta,
         "config": {"hidden_nf": args.hidden, "n_layers": args.layers,
+                   "joint_nf": args.joint_nf,
                    "T": args.T, "batch": args.batch, "steps": args.steps,
                    "base_lr": args.lr,
                    "lr_schedule": "base to 50%, x0.3 to 80%, x0.1 after",
                    "augment_noise": args.augment_noise,
                    "augment_rotation": True,
-                   # ADVICE r04 #2: record the selection mode actually used
                    "selection": ("last state (--select-last)"
                                  if args.select_last else
                                  "max Validity, tie-break Connectivity, "
                                  "fixed eval key"),
                    "device": args.device, "impl": impl,
                    "precision": precision},
+        "verdict_bar": {"Validity": 0.8, "Connectivity": 0.5},
         "trajectory": [],
         "best": None,
     }
@@ -168,8 +196,6 @@ def main():
             prev = json.loads(out_path.read_text())
             record["trajectory"] = [r for r in prev.get("trajectory", [])
                                     if r["step"] <= step]
-            # re-derive best from the trajectory (selection rules may have
-            # changed between chunks); step 0 never qualifies — see below
             cands = [r for r in record["trajectory"] if r["step"] > 0]
             if cands:
                 record["best"] = max(
@@ -188,19 +214,18 @@ def main():
             train_steps[lr] = make_train_step(module, lr=lr, clip_grad=True)
         return train_steps[lr]
 
-    # fixed selection key: every eval sees the same z_T draws, so the
-    # trajectory measures the MODEL, not eval-noise (the final re-eval of
-    # the winner uses a fresh key to keep selection honest)
+    # fixed selection key so the trajectory measures the model, not
+    # eval noise; the final test eval uses a fresh key
     eval_key = jax.random.PRNGKey(10_000)
 
-    def evaluate(params, key, n, tag_):
+    def evaluate(ev, params, key, n, tag_):
         t0 = time.time()
-        m = evaluator.sample_and_analyze(
+        m = ev.sample_and_analyze(
             params, key, n, batch_size=min(n, 16),
             size_rng=np.random.default_rng(7))
         m = {k2: m.get(k2) for k2 in
              ("Validity", "Connectivity", "Uniqueness",
-              "kl_div_atom_types", "QED", "SA")}
+              "kl_div_atom_types", "QED", "SA", "Diversity")}
         m["eval_s"] = round(time.time() - t0, 1)
         m["eval_tag"] = tag_
         return m
@@ -210,17 +235,16 @@ def main():
     data_iter = iter(loader)
     while step <= args.steps:
         if step % args.eval_every == 0 or step == args.steps:
-            m = evaluate(state.params, eval_key, args.n_eval, "selection")
+            m = evaluate(evaluator, state.params, eval_key, args.n_eval,
+                         "selection (held-out val pockets)")
             m["step"] = step
             m["train_loss_recent"] = (round(float(np.mean(loss_window)), 4)
                                       if loss_window else None)
             m["wall_s"] = round(time.time() - t_start, 1)
             record["trajectory"].append(m)
             key_metric = (m["Validity"], m["Connectivity"])
-            # the fresh init (step 0) is excluded from selection: its high
-            # "validity" is tiny-fragment soup passing the valence check
-            # (Connectivity 0.03, GEOMETRY_PROBE.json) — selecting it would
-            # export an untrained net as the "best" artifact
+            # fresh init (step 0) never qualifies: its "validity" is
+            # fragment soup passing the valence check (GEOMETRY_PROBE.json)
             if step > 0 and key_metric > best_key_metric:
                 best_key_metric = key_metric
                 record["best"] = dict(m)
@@ -248,34 +272,41 @@ def main():
             print(f"step {step} loss {np.mean(loss_window):.4f} "
                   f"({rate:.1f} samples/s)", flush=True)
 
-    # honest re-eval of the selected checkpoint: fresh key, more samples
+    # held-out-protein TEST eval of the selected checkpoint: fresh key,
+    # disjoint pockets, larger sample count — the VERDICT done-criterion
     sel_name = "last" if args.select_last else "bestv"
+    if not (ckpt_dir / sel_name).exists():
+        sel_name = "last"
     _, best_state, _ = load_model(ckpt_dir, name=sel_name, lr=args.lr)
-    record["best_reeval"] = evaluate(
-        best_state.params, jax.random.PRNGKey(20_000), args.n_eval_final,
-        "fresh-key re-eval")
-    record["best_reeval"]["step"] = int(best_state.step)
+    record["heldout_test"] = evaluate(
+        test_evaluator, best_state.params, jax.random.PRNGKey(20_000),
+        args.n_eval_final, "held-out test pockets, fresh key")
+    record["heldout_test"]["step"] = int(best_state.step)
+    record["heldout_test"]["selection_used"] = sel_name
+    bar = record["verdict_bar"]
+    record["meets_verdict_bar"] = bool(
+        (record["heldout_test"]["Validity"] or 0) >= bar["Validity"] and
+        (record["heldout_test"]["Connectivity"] or 0) >= bar["Connectivity"])
 
-    # committable fp16 fixture for tests/test_trained_sanity.py
-    fixture = REPO / "checkpoints" / f"overfit_chem_{args.tag}_best.npz"
+    # committable fp16 fixture
+    fixture = REPO / "checkpoints" / f"synth_quality_{args.tag}_best.npz"
     save_params_npz(fixture, best_state.params, dtype=np.float16)
     meta = dict(record["config"])
     meta.update(step=int(best_state.step),
+                # ADVICE r04 #2: record the selection mode actually used
                 selection_used=sel_name,
                 selection_metrics=record["best"],
-                reeval_metrics=record["best_reeval"],
-                joint_nf=args.joint_nf,
-                n_lig_max=56, n_pocket_max=320)
+                heldout_test_metrics=record["heldout_test"],
+                n_lig_max=32, n_pocket_max=320)
     fixture.with_suffix(".json").write_text(json.dumps(meta, indent=1) + "\n")
     record["fixture"] = str(fixture.relative_to(REPO))
     record["fixture_mb"] = round(fixture.stat().st_size / 1e6, 2)
     record["total_wall_s"] = round(time.time() - t_start, 1)
     save_progress()
     print(json.dumps({"best": record["best"],
-                      "best_reeval": record["best_reeval"],
-                      "fixture": record["fixture"],
-                      "fixture_mb": record["fixture_mb"]}, indent=1),
-          flush=True)
+                      "heldout_test": record["heldout_test"],
+                      "meets_verdict_bar": record["meets_verdict_bar"],
+                      "fixture": record["fixture"]}, indent=1), flush=True)
 
 
 if __name__ == "__main__":

@@ -19,8 +19,12 @@ dependencies are assumed in this image).  Operations:
     {"op": "generate", "pdbfile": ..., "ref_ligand": "A:330" |
      "resi_list": ["A:1", ...], "n_samples": 8, "outfile": "out.sdf",
      "timesteps": null, "num_nodes_lig": null, "sanitize": false,
-     "all_frags": false, "resamplings": 10, "jump_length": 1, "seed": null}
+     "all_frags": false, "relax": false, "resamplings": 10,
+     "jump_length": 1, "seed": null}
     {"op": "shutdown"}
+
+``relax`` runs 200 UFF relaxation iterations on each built molecule
+(process_molecule's relax_iter semantics; requires RDKit).
 
 Replies echo the request's "id" field (if any) and carry either the result
 or {"error": ...} — a malformed request never kills the server.
@@ -100,11 +104,15 @@ class SamplingServer:
     def _op_warmup(self, req):
         """Compile the sampler for a request shape before traffic hits it:
         identical to generate, but molecules are discarded and no output
-        file is written."""
+        file is written.  Warmup must not perturb the server's PRNG stream
+        (ADVICE r04 #4: an unseeded generate after warmup has to produce
+        the same molecules as on an unwarmed server), so it always runs on
+        a fixed throwaway key unless the request pins its own seed."""
         req = dict(req)
         req.pop("outfile", None)
+        req.setdefault("seed", 0)
         t0 = time.time()
-        mols = self._generate(req)
+        mols = self._generate(req, size_rng=np.random.default_rng(0))
         return {"ok": True, "compiled_s": round(time.time() - t0, 2),
                 "n_molecules": len(mols)}
 
@@ -126,12 +134,14 @@ class SamplingServer:
             out["outfile"] = str(outfile)
         return out
 
-    def _generate(self, req):
+    def _generate(self, req, size_rng=None):
         pdbfile = req["pdbfile"]
         n = int(req.get("n_samples", 8))
         num_nodes = req.get("num_nodes_lig")
         if num_nodes is not None:
             num_nodes = np.full(n, int(num_nodes))
+        if size_rng is None:
+            size_rng = self._size_rng
         return self.module.generate_ligands(
             self.state.params,
             self._next_key(req.get("seed")),
@@ -145,7 +155,7 @@ class SamplingServer:
             timesteps=req.get("timesteps"),
             resamplings=int(req.get("resamplings", 10)),
             jump_length=int(req.get("jump_length", 1)),
-            size_rng=self._size_rng)
+            size_rng=size_rng)
 
     def _op_shutdown(self, req):
         return {"ok": True, "shutdown": True}

@@ -104,12 +104,18 @@ def edge_sharded_dynamics(dynamics, mesh: Mesh, axis: str = EDGE_AXIS,
     parallelism composed with edge sharding in one shard_map.  Parameters
     stay replicated; the per-aggregation psum runs over ``axis`` only, so
     the two axes never exchange data except through the caller's own
-    gradient reduction.  The batch must divide ``mesh.shape[batch_axis]``.
+    gradient reduction.  ``mesh.shape[batch_axis]`` must divide the batch.
     """
     n_shards = mesh.shape[axis]
     b = P(batch_axis) if batch_axis is not None else P()
 
     def apply_fn(variables, xh_lig, xh_pkt, t, mask_lig, mask_pkt):
+        if batch_axis is not None:
+            n_b = mesh.shape[batch_axis]
+            if xh_lig.shape[0] % n_b != 0:
+                raise ValueError(
+                    f"batch {xh_lig.shape[0]} is not divisible by mesh "
+                    f"axis '{batch_axis}' of size {n_b}")
         NL = xh_lig.shape[1]
         xh_pkt_p, mask_pkt_p, pad = _pad_pocket(
             xh_pkt, mask_pkt, NL, n_shards)

@@ -72,6 +72,30 @@ def test_server_handles_requests(tmp_path):
     assert server.handle({"op": "nope"})["error"].startswith("ValueError")
 
 
+def test_warmup_does_not_perturb_rng_stream(tmp_path):
+    """ADVICE r04 #4: warmup runs on a throwaway key + size_rng, so an
+    unseeded generate after warmup equals the same generate on a fresh
+    (unwarmed) server."""
+    from diffsbdd_tpu.cli.serve import SamplingServer
+
+    ckpt = _make_ckpt(tmp_path)
+    gen_req = {"op": "generate", "pdbfile": str(EXAMPLE_PDB),
+               "ref_ligand": "A:330", "n_samples": 2, "num_nodes_lig": 6,
+               "all_frags": True}
+
+    warmed = SamplingServer(ckpt, name="best", seed=3)
+    w = warmed.handle({"op": "warmup", **{k: v for k, v in gen_req.items()
+                                          if k != "op"}})
+    assert w.get("ok"), w
+    out_warmed = warmed.handle(dict(gen_req))
+
+    fresh = SamplingServer(ckpt, name="best", seed=3)
+    out_fresh = fresh.handle(dict(gen_req))
+
+    assert out_warmed["smiles"] == out_fresh["smiles"]
+    assert out_warmed["n_atoms"] == out_fresh["n_atoms"]
+
+
 def test_server_jsonl_loop(tmp_path):
     from diffsbdd_tpu.cli.serve import SamplingServer
 

@@ -77,6 +77,10 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--select-last", action="store_true")
+    p.add_argument("--lig-bucket", type=int, default=32,
+                   help="ligand shape-bucket granularity; the default (one "
+                        "bucket) bounds tunnel compiles")
+    p.add_argument("--pocket-bucket", type=int, default=64)
     p.add_argument("--outdir", type=Path,
                    default=Path("/tmp/diffsbdd_synth_r05"))
     p.add_argument("--tag", default="r05")
@@ -137,6 +141,8 @@ def main():
         "diffusion_params": {"diffusion_steps": args.T,
                              "normalize_factors": [1, 4]},
         "tpu": {"n_lig_max": 32, "n_pocket_max": 320,
+                "lig_bucket": args.lig_bucket,
+                "pocket_bucket": args.pocket_bucket,
                 "matmul_precision": precision, "egnn_impl": impl},
     })
     module = build_module_from_config(cfg, hist)

@@ -182,6 +182,23 @@ def _unpack_block_id(words_ref, pb, i, k):
         jax.lax.shift_right_logical(word, 8 * (k & 3)), 0xFF)
 
 
+def _compact_smem_specs(n_words):
+    """Per-grid-step SMEM BlockSpecs for the compact counts/words operands.
+
+    r04 passed counts/words as whole-array scalar-prefetch operands; the
+    words array for the full batch blew the ~1 MB SMEM budget at B=64 under
+    tile_i=8 (NOTES r04), capping the fastest sampling tiles at B<=32.  The
+    kernel only ever reads the (batch, row-tile) slice of both, so stream
+    exactly that block into SMEM per grid step: the resident footprint drops
+    from O(B * n_rows * n_words) to O(n_words) regardless of batch.
+    """
+    counts_spec = pl.BlockSpec((1, 1), lambda b, i, *_: (b, i),
+                               memory_space=pltpu.SMEM)
+    words_spec = pl.BlockSpec((1, 1, n_words), lambda b, i, *_: (b, i, 0),
+                              memory_space=pltpu.SMEM)
+    return counts_spec, words_spec
+
+
 def _col_tiles(a, sub_j):
     """(B, N, K) column-side array -> (B, N//sub_j, K, sub_j) transposed
     tiles, so the kernel can load one (K, sub_j) block at a dynamic block
@@ -411,7 +428,8 @@ def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
                mask_ref, maskt_t_ref, lig_ref, ligt_t_ref,
                wd2_ref, wd20_ref, tbias_ref, w2_ref, b2_ref, watt_ref,
                batt_ref, out_ref):
-        pb = pl.program_id(0)
+        # counts/words arrive as per-(batch, row-tile) SMEM blocks
+        # (_compact_smem_specs), so they are indexed at the origin
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
@@ -424,7 +442,7 @@ def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
         wattp = _prep_w(watt_ref[:], mxu) if attention else None
 
         def body(k, acc):
-            col = _unpack_block_id(words_ref, pb, i, k)
+            col = _unpack_block_id(words_ref, 0, 0, k)
             off = pl.multiple_of(col * sub_j, sub_j)
             a_j = a_col_ref[0, pl.ds(off, sub_j), :]
             x_j_t = xt_t_ref[0, col]        # (3, sub_j)
@@ -446,7 +464,7 @@ def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
             return acc + jnp.sum(m.reshape(ti, sub_j, -1) * gate, axis=1)
 
         acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
-        acc = jax.lax.fori_loop(0, counts_ref[pb, i], body, acc)
+        acc = jax.lax.fori_loop(0, counts_ref[0, 0], body, acc)
         out_ref[0] = acc / normalization_factor
 
     return kernel
@@ -515,11 +533,12 @@ def _gcl_agg_pallas_compact(
             w_d2.reshape(1, F), w_d20.reshape(1, F),
             type_delta.reshape(1, F), w2, b2.reshape(1, F), w_att,
             b_att.reshape(1, 1))
+    counts_spec, words_spec = _compact_smem_specs(words.shape[-1])
     out = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=(B, n_row_tiles),
-            in_specs=in_specs, out_specs=out_spec),
+        grid=(B, n_row_tiles),
+        in_specs=[counts_spec, words_spec] + in_specs,
+        out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(counts, words, *args)
@@ -823,7 +842,8 @@ def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
              cwd2_ref, cwd20_ref, ctbias_ref, cw2_ref, cb2_ref, cw3_ref,
              out_ref) = refs
 
-        pb = pl.program_id(0)
+        # counts/words are per-(batch, row-tile) SMEM blocks
+        # (_compact_smem_specs) indexed at the origin
         i = pl.program_id(1)
         ti = a_row_ref.shape[1]
         a_i = a_row_ref[0]
@@ -842,7 +862,7 @@ def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
             cw3p = _prep_w(cw3_ref[:], mxu)
 
         def body(k, acc):
-            col = _unpack_block_id(words_ref, pb, i, k)
+            col = _unpack_block_id(words_ref, 0, 0, k)
             off = pl.multiple_of(col * sub_j, sub_j)
             a_j = a_col_ref[0, pl.ds(off, sub_j), :]
             x_j_t = xt_t_ref[0, col]
@@ -890,7 +910,7 @@ def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
             return acc + jnp.concatenate(cols, axis=1)
 
         acc = jnp.zeros((ti, 3), jnp.float32)
-        acc = jax.lax.fori_loop(0, counts_ref[pb, i], body, acc)
+        acc = jax.lax.fori_loop(0, counts_ref[0, 0], body, acc)
         out_ref[0] = acc / normalization_factor
 
     return kernel
@@ -969,11 +989,12 @@ def _coord_agg_pallas_compact(
     out_spec = pl.BlockSpec((1, tile_i, 3), lambda b, i, *_: (b, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32)
+    counts_spec, words_spec = _compact_smem_specs(words.shape[-1])
     out = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=(B, n_row_tiles),
-            in_specs=in_specs, out_specs=out_spec),
+        grid=(B, n_row_tiles),
+        in_specs=[counts_spec, words_spec] + in_specs,
+        out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(counts, words, *args)

@@ -24,7 +24,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from diffsbdd_tpu.constants import ALLOWED_BONDS, MARGINS
+from diffsbdd_tpu.constants import ALLOWED_BONDS, COVALENT_RADII, MARGINS
 
 try:  # optional bridge
     from rdkit import Chem as _rdchem
@@ -243,18 +243,112 @@ def perceive_bonds_edm(positions: np.ndarray, atom_types: np.ndarray,
     return out
 
 
+def perceive_bonds_covalent(positions, atom_types, dataset_info,
+                            tolerance: float = 0.45,
+                            ) -> List[Tuple[int, int, int]]:
+    """Covalent-radii bond perception — the in-repo equivalent of the
+    reference's DEFAULT OpenBabel route (molecule_builder.py:58-98).
+
+    OpenBabel's ConnectTheDots bonds atom pairs with
+    ``d < r_cov(a) + r_cov(b) + 0.45 A`` and then prunes valence overflow;
+    this mirrors that contract deterministically:
+
+    1. candidate bonds where ``0.4 < d < r_cov sum + tolerance``;
+    2. valence pruning: while an atom exceeds its maximum allowed valence,
+       drop its longest candidate bond (largest absolute excess over the
+       covalent sum);
+    3. bond orders from the EDM length tables by nearest-length assignment
+       (order k when d is below the midpoint between the k and k-1 table
+       lengths), then downgrade orders (3->2->1) wherever an endpoint's
+       order sum exceeds its allowed valence.
+
+    Why this exists (r05): the final decode draws x with sigma_0 ~= 0.022 A
+    of Gaussian noise (sample_p_xh_given_z0, conditional_model.py:112-135 —
+    the reference does the same), while the EDM tables' margins are only
+    0.03/0.02/0.01 A.  Measured on ground-truth corpus molecules, that
+    noise alone collapses EDM-strict Connectivity to ~0.05
+    (benchmarks/SYNTH_DIAG_r05.json) — the reference's production numbers
+    rest on OpenBabel's ~0.45 A tolerance, so evaluation parity requires
+    this route wherever the reference would have used OpenBabel.
+    """
+    pos = np.asarray(positions, dtype=np.float64)
+    t = np.asarray(atom_types)
+    n = len(pos)
+    if n == 0:
+        return []
+    decoder = dataset_info["atom_decoder"]
+    rcov = np.array([COVALENT_RADII.get(decoder[int(i)], 77) / 100.0
+                     for i in t])
+    d = np.sqrt(((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1))
+    limit = rcov[:, None] + rcov[None, :] + tolerance
+    cand = (d < limit) & (d > 0.4)
+    cand = np.tril(cand, k=-1)
+    ii, jj = np.nonzero(cand)
+    # prune valence overflow, longest-excess bonds first
+    max_val = {}
+    for i_sym, sym in enumerate(decoder):
+        a = ALLOWED_BONDS.get(sym)
+        max_val[i_sym] = (max(a) if isinstance(a, list) else a) if a else 0
+    bonds = sorted(zip(ii.tolist(), jj.tolist()),
+                   key=lambda b: d[b[0], b[1]] - (rcov[b[0]] + rcov[b[1]]))
+    degree = np.zeros(n, np.int64)
+    kept = []
+    for i, j in bonds:
+        if degree[i] < max_val[int(t[i])] and degree[j] < max_val[int(t[j])]:
+            kept.append((i, j))
+            degree[i] += 1
+            degree[j] += 1
+    # nearest-length bond orders from the EDM tables
+    b1 = np.asarray(dataset_info["bonds1"]) / 100.0
+    b2 = np.asarray(dataset_info["bonds2"]) / 100.0
+    b3 = np.asarray(dataset_info["bonds3"]) / 100.0
+    out = []
+    order_sum = np.zeros(n, np.int64)
+    for i, j in kept:
+        ti, tj = int(t[i]), int(t[j])
+        o = 1
+        if b2[ti, tj] > 0 and d[i, j] < (b1[ti, tj] + b2[ti, tj]) / 2:
+            o = 2
+        if b3[ti, tj] > 0 and d[i, j] < (b2[ti, tj] + b3[ti, tj]) / 2:
+            o = 3
+        out.append([i, j, o])
+        order_sum[i] += o
+        order_sum[j] += o
+    # downgrade orders where an endpoint's order sum exceeds its valence
+    changed = True
+    while changed:
+        changed = False
+        for rec in sorted(out, key=lambda r: -r[2]):
+            i, j, o = rec
+            if o > 1 and (order_sum[i] > max_val[int(t[i])]
+                          or order_sum[j] > max_val[int(t[j])]):
+                rec[2] = o - 1
+                order_sum[i] -= 1
+                order_sum[j] -= 1
+                changed = True
+    return [(i, j, o) for i, j, o in out]
+
+
 def build_molecule(positions, atom_types, dataset_info, add_coords=True,
-                   use_openbabel="auto") -> SimpleMol:
+                   use_openbabel="auto", perception=None) -> SimpleMol:
     """coords + type indices -> SimpleMol (molecule_builder.py:140-159).
 
     ``use_openbabel='auto'`` uses OpenBabel bond perception when the library
     is installed (the reference default), otherwise the EDM table route.
+    ``perception`` overrides the route explicitly: 'openbabel' | 'covalent'
+    (the in-repo OpenBabel-equivalent, ``perceive_bonds_covalent``) | 'edm'.
     """
     positions = np.asarray(positions, dtype=np.float32)
     atom_types = np.asarray(atom_types, dtype=np.int64)
     decoder = dataset_info["atom_decoder"]
     symbols = [decoder[int(t)] for t in atom_types]
 
+    if perception == "covalent":
+        bonds = perceive_bonds_covalent(positions, atom_types, dataset_info)
+        return SimpleMol(symbols=symbols, coords=positions, bonds=bonds)
+    if perception == "edm":
+        bonds = perceive_bonds_edm(positions, atom_types, dataset_info)
+        return SimpleMol(symbols=symbols, coords=positions, bonds=bonds)
     if use_openbabel == "auto":
         use_openbabel = HAVE_OPENBABEL
     if use_openbabel and HAVE_OPENBABEL:

@@ -30,8 +30,16 @@ def residues_to_atoms(x_ca: np.ndarray, atom_encoder) -> np.ndarray:
 
 class SamplingEvaluator:
     def __init__(self, module, dataset=None, dataset_smiles=None,
-                 outdir="eval_out", wandb=None, datadir=None):
+                 outdir="eval_out", wandb=None, datadir=None,
+                 perception=None):
         self.module = module
+        # bond-perception route for metric molecules: None keeps
+        # build_molecule's default (OpenBabel if installed, else EDM
+        # tables); 'covalent' selects the in-repo OpenBabel-equivalent
+        # (chem/molecule.py::perceive_bonds_covalent) — the reference's
+        # default route, needed because the final decode's sigma_0 noise
+        # breaks the 0.03 A EDM margins (SYNTH_DIAG_r05.json)
+        self.perception = perception
         self.dataset = dataset  # validation LigandPocketDataset
         self.dataset_smiles = dataset_smiles
         self.outdir = Path(outdir)
@@ -165,7 +173,8 @@ class SamplingEvaluator:
             if len(types) == 0:
                 continue
             out.append(build_molecule(coords, types, mod.dataset_info,
-                                      add_coords=True))
+                                      add_coords=True,
+                                      perception=self.perception))
             kept.append(b)
         return (out, kept) if return_kept else out
 

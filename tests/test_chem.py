@@ -226,3 +226,47 @@ def test_read_reference_sdf_and_rebuild():
     types = np.array([ENC[s] for s in mol.symbols])
     rebuilt = build_molecule(mol.coords, types, DINFO, use_openbabel=False)
     assert rebuilt.is_connected()
+
+
+def test_perceive_bonds_covalent_noise_tolerant():
+    """The covalent route (in-repo OpenBabel-default equivalent) must
+    recover bonds under coordinate noise far beyond the EDM margins, while
+    never exceeding valences (r05, SYNTH_DIAG_r05.json)."""
+    from diffsbdd_tpu.chem.molecule import perceive_bonds_covalent
+
+    coords, types = ethanol_like()
+    rng = np.random.default_rng(0)
+    noisy = coords + rng.standard_normal(coords.shape).astype(np.float32) * 0.05
+    bonds = perceive_bonds_covalent(noisy, types, DINFO)
+    assert {(i, j) for i, j, _ in bonds} == {(1, 0), (2, 1)}
+    mol = build_molecule(noisy, types, DINFO, perception="covalent")
+    assert mol.is_connected() and mol.check_valency()
+    # EDM-strict at the same noise typically loses bonds — the motivating gap
+    mol_edm = build_molecule(noisy, types, DINFO, perception="edm")
+    assert len(mol.bonds) >= len(mol_edm.bonds)
+
+
+def test_perceive_bonds_covalent_valence_pruning():
+    """A carbon crowded by 6 in-range neighbors keeps at most 4 bonds."""
+    from diffsbdd_tpu.chem.molecule import perceive_bonds_covalent
+
+    center = np.zeros((1, 3), np.float32)
+    dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                     [0, 0, 1], [0, 0, -1]], np.float32) * 1.54
+    coords = np.concatenate([center, dirs])
+    types = np.array([ENC["C"]] * 7)
+    bonds = perceive_bonds_covalent(coords, types, DINFO)
+    deg0 = sum(1 for i, j, _ in bonds if 0 in (i, j))
+    assert deg0 <= 4
+    sm = SimpleMol(symbols=["C"] * 7, coords=coords, bonds=bonds)
+    assert sm.check_valency()
+
+
+def test_perceive_bonds_covalent_order_assignment():
+    """Nearest-length order assignment: C=C at 1.33 comes back double."""
+    from diffsbdd_tpu.chem.molecule import perceive_bonds_covalent
+
+    coords = np.array([[0.0, 0, 0], [1.33, 0, 0]], np.float32)
+    types = np.array([ENC["C"], ENC["C"]])
+    bonds = perceive_bonds_covalent(coords, types, DINFO)
+    assert bonds == [(1, 0, 2)]

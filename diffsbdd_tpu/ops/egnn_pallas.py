@@ -182,21 +182,41 @@ def _unpack_block_id(words_ref, pb, i, k):
         jax.lax.shift_right_logical(word, 8 * (k & 3)), 0xFF)
 
 
-def _compact_smem_specs(n_words):
-    """Per-grid-step SMEM BlockSpecs for the compact counts/words operands.
+def _unpack_word_id(words_ref, k):
+    """k-th uint8 block id from a per-grid-step 4-D SMEM words block."""
+    word = words_ref[0, 0, 0, k >> 2]
+    return jnp.bitwise_and(
+        jax.lax.shift_right_logical(word, 8 * (k & 3)), 0xFF)
+
+
+def _compact_smem_operands(counts, words):
+    """Per-grid-step SMEM blocks for the compact counts/words operands.
 
     r04 passed counts/words as whole-array scalar-prefetch operands; the
     words array for the full batch blew the ~1 MB SMEM budget at B=64 under
     tile_i=8 (NOTES r04), capping the fastest sampling tiles at B<=32.  The
     kernel only ever reads the (batch, row-tile) slice of both, so stream
-    exactly that block into SMEM per grid step: the resident footprint drops
-    from O(B * n_rows * n_words) to O(n_words) regardless of batch.
+    exactly that block into SMEM per grid step: the resident footprint
+    drops from O(B * n_rows * n_words) to O(n_words) regardless of batch.
+
+    Mosaic's block-shape check requires the LAST TWO dims of a block to be
+    (8, 128)-divisible or equal to the array dims, so the sliced (batch,
+    row-tile) axes are kept leading and the arrays are reshaped to 4-D with
+    trailing dims that the block covers exactly.
+
+    Returns (counts4, words4, counts_spec, words_spec); kernels index both
+    refs at the origin: counts_ref[0, 0, 0, 0] / words_ref[0, 0, 0, k>>2].
     """
-    counts_spec = pl.BlockSpec((1, 1), lambda b, i, *_: (b, i),
+    B, n_rows = counts.shape
+    n_words = words.shape[-1]
+    counts4 = counts.reshape(B, n_rows, 1, 1)
+    words4 = words.reshape(B, n_rows, 1, n_words)
+    counts_spec = pl.BlockSpec((1, 1, 1, 1), lambda b, i, *_: (b, i, 0, 0),
                                memory_space=pltpu.SMEM)
-    words_spec = pl.BlockSpec((1, 1, n_words), lambda b, i, *_: (b, i, 0),
+    words_spec = pl.BlockSpec((1, 1, 1, n_words),
+                              lambda b, i, *_: (b, i, 0, 0),
                               memory_space=pltpu.SMEM)
-    return counts_spec, words_spec
+    return counts4, words4, counts_spec, words_spec
 
 
 def _col_tiles(a, sub_j):
@@ -442,7 +462,7 @@ def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
         wattp = _prep_w(watt_ref[:], mxu) if attention else None
 
         def body(k, acc):
-            col = _unpack_block_id(words_ref, 0, 0, k)
+            col = _unpack_word_id(words_ref, k)
             off = pl.multiple_of(col * sub_j, sub_j)
             a_j = a_col_ref[0, pl.ds(off, sub_j), :]
             x_j_t = xt_t_ref[0, col]        # (3, sub_j)
@@ -464,7 +484,7 @@ def _make_gcl_kernel_compact(sub_j, cutoffs, attention, has_type_bias,
             return acc + jnp.sum(m.reshape(ti, sub_j, -1) * gate, axis=1)
 
         acc = jnp.zeros((ti, out_ref.shape[2]), jnp.float32)
-        acc = jax.lax.fori_loop(0, counts_ref[0, 0], body, acc)
+        acc = jax.lax.fori_loop(0, counts_ref[0, 0, 0, 0], body, acc)
         out_ref[0] = acc / normalization_factor
 
     return kernel
@@ -533,7 +553,8 @@ def _gcl_agg_pallas_compact(
             w_d2.reshape(1, F), w_d20.reshape(1, F),
             type_delta.reshape(1, F), w2, b2.reshape(1, F), w_att,
             b_att.reshape(1, 1))
-    counts_spec, words_spec = _compact_smem_specs(words.shape[-1])
+    counts4, words4, counts_spec, words_spec = _compact_smem_operands(
+        counts, words)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_row_tiles),
@@ -541,7 +562,7 @@ def _gcl_agg_pallas_compact(
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(counts, words, *args)
+    )(counts4, words4, *args)
     if n_rows_out < N:
         out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
     return out
@@ -862,7 +883,7 @@ def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
             cw3p = _prep_w(cw3_ref[:], mxu)
 
         def body(k, acc):
-            col = _unpack_block_id(words_ref, 0, 0, k)
+            col = _unpack_word_id(words_ref, k)
             off = pl.multiple_of(col * sub_j, sub_j)
             a_j = a_col_ref[0, pl.ds(off, sub_j), :]
             x_j_t = xt_t_ref[0, col]
@@ -910,7 +931,7 @@ def _make_coord_kernel_compact(sub_j, cutoffs, has_type_bias, tanh,
             return acc + jnp.concatenate(cols, axis=1)
 
         acc = jnp.zeros((ti, 3), jnp.float32)
-        acc = jax.lax.fori_loop(0, counts_ref[0, 0], body, acc)
+        acc = jax.lax.fori_loop(0, counts_ref[0, 0, 0, 0], body, acc)
         out_ref[0] = acc / normalization_factor
 
     return kernel
@@ -989,7 +1010,8 @@ def _coord_agg_pallas_compact(
     out_spec = pl.BlockSpec((1, tile_i, 3), lambda b, i, *_: (b, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, n_rows_out, 3), jnp.float32)
-    counts_spec, words_spec = _compact_smem_specs(words.shape[-1])
+    counts4, words4, counts_spec, words_spec = _compact_smem_operands(
+        counts, words)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_row_tiles),
@@ -997,7 +1019,7 @@ def _coord_agg_pallas_compact(
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(counts, words, *args)
+    )(counts4, words4, *args)
     if n_rows_out < N:
         out = jnp.pad(out, ((0, 0), (0, N - n_rows_out), (0, 0)))
     return out

@@ -363,6 +363,8 @@ def main():
                 selection_used=sel_name,
                 selection_metrics=record["best"],
                 heldout_test_metrics=record["heldout_test"],
+                heldout_test_metrics_covalent=record["heldout_test_covalent"],
+                gt_noise_ceiling=record["gt_noise_ceiling"],
                 n_lig_max=32, n_pocket_max=320)
     fixture.with_suffix(".json").write_text(json.dumps(meta, indent=1) + "\n")
     record["fixture"] = str(fixture.relative_to(REPO))

@@ -212,6 +212,12 @@ def embed_molecule(rng: np.random.Generator, tidx: Sequence[int], bonds,
     np.fill_diagonal(soft, 0.0)
 
     x = _bfs_init(rng, n, bonds, d0)
+    # drug-like compactness target: real ligands are compact (r_gyr ~ 2.5-4 A
+    # for 8-26 heavy atoms), while a pure-repulsion embedding produces
+    # extended chains whose weak long-range coupling makes the diffusion
+    # model's mid-chain coherence unnecessarily hard (SYNTH_GEOM_r05.json:
+    # small-t bonds precise, fragments committed at mid noise)
+    rg_target = 1.3 * n ** (1.0 / 3.0) + 0.8
     lr = 0.12
     for it in range(iters):
         diff = x[:, None, :] - x[None, :, :]
@@ -226,6 +232,12 @@ def embed_molecule(rng: np.random.Generator, tidx: Sequence[int], bonds,
         f = f + np.where((~bonded) & (d < floor + 0.15),
                          (floor + 0.15 - d) * 2.0, 0.0)
         grad = (f[..., None] * unit).sum(1)
+        # centripetal compaction toward the gyration-radius target (the
+        # nonbond floors above keep compaction from creating clashes)
+        rel = x - x.mean(0, keepdims=True)
+        rg = float(np.sqrt((rel ** 2).sum(1).mean()) + 1e-9)
+        if rg > rg_target:
+            grad = grad - 0.25 * (rg - rg_target) * rel / rg
         x = x + lr * grad
         if it % 50 == 49:
             bond_err = np.abs(np.where(bonded, d - d0, 0.0)).max()

@@ -493,9 +493,11 @@ def main():
     # Sampling-validated tile override (benchmarks/TILE_AB_r04.json):
     # tile_i=8 is 3.3% faster than the default 16 at B<=32 under the
     # compact skip mode (30.04 vs 31.04 ms/step, alternating A/B,
-    # bit-identical full chains — TILE_AB_checks_r04.json).  It is NOT the
-    # global default because the compact index prefetch exceeds the 1 MB
-    # SMEM budget at B=64 (u8[1.5M] operand) — B=64 points keep tile 16.
+    # bit-identical full chains — TILE_AB_checks_r05.json re-pins the
+    # equality on the r05 per-grid-step SMEM index operands).  The r04
+    # B=64 SMEM ceiling is gone (the compact index words now stream per
+    # grid step), so ti8 carries every batch point: measured b64 2.068
+    # mol/s vs 1.67 in r04 (benchmarks/PERF_R05.json b64_tiles).
     module_t8 = None
     if not smoke:
         try:
@@ -558,7 +560,9 @@ def main():
         if mod16 is not None:
             order.append(("b32_bf16", mod16, 32, 6, "bfloat16", True))
         order += [("b8", m32, 8, 4, "float32_x2", False),
-                  ("b64", module, 64, 4, "float32_x2", False)]
+                  ("b64", m32, 64, 4, "float32_x2", False)]
+        if mod16 is not None:
+            order.append(("b64_bf16", mod16, 64, 4, "bfloat16", False))
     sweep_t0 = time.monotonic()
     for i, (key, mod, b, reps, tier, is_headline) in enumerate(order):
         if not smoke and not is_headline and \

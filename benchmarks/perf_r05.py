@@ -210,14 +210,29 @@ def probe_pp():
         float(jnp.sum(out[0][0]))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times[2:]))
+
+    # dispatch+sync floor: a near-empty jit with the same sync discipline,
+    # so the glue's pure-compute share can be separated from the tunnel's
+    # per-dispatch latency (measured ~23 ms, NOTES r04)
+    tiny = jax.jit(lambda v: v + 1.0)
+    v0 = jnp.zeros((8, 128))
+    float(jnp.sum(tiny(v0)))
+    floor_times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        float(jnp.sum(tiny(v0)))
+        floor_times.append(time.perf_counter() - t0)
+    floor = float(np.median(floor_times[2:]))
     record("pp_hoist_upper_bound", {
         "batch": B, "n_pad": N,
-        "glue_ms_per_step": round(dt * 1e3, 3),
+        "glue_plus_sync_ms": round(dt * 1e3, 3),
+        "dispatch_sync_floor_ms": round(floor * 1e3, 3),
+        "glue_ms_per_step_est": round((dt - floor) * 1e3, 3),
         "note": "upper bound on the VERDICT-#4 hoisting win: the whole "
-                "per-step index glue incl. the dense (B,N,N) d2; the "
-                "pp-only cacheable share is smaller.  Includes one "
-                "host-transfer sync (~dispatch floor) — compare against "
-                "the ~30 ms step.",
+                "per-step index glue incl. the dense (B,N,N) d2, with the "
+                "per-dispatch sync floor measured separately and "
+                "subtracted; the pp-only cacheable share is smaller "
+                "still.  Compare against the ~30 ms step.",
     })
 
 

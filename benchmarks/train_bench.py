@@ -31,6 +31,9 @@ def main():
     p.add_argument("--bwd-precision", default=None,
                    help="backward-only MXU tier (None -> same as forward)")
     p.add_argument("--precision", default="float32_x3")
+    p.add_argument("--tile-i", type=int, default=None,
+                   help="kernel row-tile override (r05: ti8 compiles at "
+                        "B=64 after the SMEM index slimming)")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
@@ -48,6 +51,7 @@ def main():
     cfg, module = _flagship_module(
         n_lig_max=24, n_pocket_max=320, T=500,
         matmul_precision=args.precision, egnn_impl=args.impl,
+        kernel_tile_i=args.tile_i,
         kernel_bwd=args.bwd, kernel_bwd_sub_j=args.bwd_sub_j,
         kernel_bwd_precision=args.bwd_precision)
     params = module.init_params(jax.random.PRNGKey(0), batch_size=2)

@@ -54,6 +54,116 @@ DEFAULT_PROTEINS = {
 }
 
 
+# ---------------------------------------------------------------- motif graphs
+# Recurring chemical building blocks (corpus v3).  Purely random graphs have
+# maximum topological entropy — no motif vocabulary to learn — which the r05
+# experiments showed leaves the diffusion model unable to commit coherently
+# to one molecule mid-chain (SYNTH_QUALITY_r05{,b}.json: loss plateaus at
+# ~0.10 and held-out connectivity at ~0.07 for two corpus variants).  Real
+# ligands are assembled from a small recurring fragment vocabulary; these
+# templates mirror that regularity.  Each motif: (symbols, internal bonds
+# (i, j, order), attachment slot atom indices).
+MOTIFS = {
+    # 6-ring, Kekulé alternation (benzene-like)
+    "ring6_arom": (["C"] * 6,
+                   [(0, 1, 2), (1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2),
+                    (5, 0, 1)], [0, 1, 2, 3, 4, 5]),
+    "ring6_sat": (["C"] * 6,
+                  [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1),
+                   (5, 0, 1)], [0, 1, 2, 3, 4, 5]),
+    "ring5_O": (["O", "C", "C", "C", "C"],
+                [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 0, 1)],
+                [1, 2, 3, 4]),
+    "ring6_N": (["N", "C", "C", "C", "C", "C"],
+                [(0, 1, 1), (1, 2, 2), (2, 3, 1), (3, 4, 2), (4, 5, 1),
+                 (5, 0, 2)], [1, 2, 3, 4, 5]),
+    "amide": (["C", "O", "N"], [(0, 1, 2), (0, 2, 1)], [0, 2]),
+    "carboxyl": (["C", "O", "O"], [(0, 1, 2), (0, 2, 1)], [0]),
+    "chain2": (["C", "C"], [(0, 1, 1)], [0, 1]),
+    "chain3": (["C", "C", "C"], [(0, 1, 1), (1, 2, 1)], [0, 1, 2]),
+    "ether": (["C", "O", "C"], [(0, 1, 1), (1, 2, 1)], [0, 2]),
+    "amine": (["C", "N"], [(0, 1, 1)], [0, 1]),
+    "sulfide": (["C", "S"], [(0, 1, 1)], [0]),
+}
+# scaffold-biased pick frequencies (roughly drug-like composition)
+MOTIF_WEIGHTS = {"ring6_arom": 3.0, "ring6_sat": 1.5, "ring5_O": 1.0,
+                 "ring6_N": 1.5, "amide": 1.5, "carboxyl": 0.7,
+                 "chain2": 2.0, "chain3": 1.5, "ether": 1.0, "amine": 1.2,
+                 "sulfide": 0.3}
+TERMINALS = (("C", 6.0), ("O", 1.5), ("N", 1.0), ("F", 0.5), ("Cl", 0.4))
+
+
+def sample_graph_motif(rng: np.random.Generator, n_target: int, dinfo: dict,
+                       ) -> Optional[Tuple[List[int], List[Tuple[int, int, int]]]]:
+    """Molecular graph assembled from the motif library.
+
+    Motifs are joined by single bonds at attachment slots with remaining
+    valence, then open slots are capped with terminal atoms until the size
+    target is reached.  Valence-correct by the same budgets as
+    ``sample_graph``.
+    """
+    enc = dinfo["atom_encoder"]
+    names = list(MOTIFS)
+    w = np.array([MOTIF_WEIGHTS[m] for m in names], np.float64)
+    w /= w.sum()
+    t_syms = [t for t, _ in TERMINALS]
+    t_w = np.array([p for _, p in TERMINALS], np.float64)
+    t_w /= t_w.sum()
+
+    symbols: List[str] = []
+    bonds: List[Tuple[int, int, int]] = []
+    cap: List[int] = []
+    slots: List[int] = []
+
+    def add_motif(name):
+        syms, mb, att = MOTIFS[name]
+        base = len(symbols)
+        symbols.extend(syms)
+        cap.extend(CONSTRUCT_VALENCE[s] for s in syms)
+        for i, j, o in mb:
+            bonds.append((base + i, base + j, o))
+            cap[base + i] -= o
+            cap[base + j] -= o
+        slots.extend(base + a for a in att)
+        return base
+
+    add_motif(names[int(rng.choice(len(names), p=w))])
+    for _ in range(40):
+        if len(symbols) >= n_target:
+            break
+        open_slots = [s for s in slots if cap[s] > 0]
+        if not open_slots:
+            break
+        host = int(rng.choice(open_slots))
+        room = n_target - len(symbols)
+        if room >= 2 and rng.random() < 0.55:
+            name = names[int(rng.choice(len(names), p=w))]
+            if len(MOTIFS[name][0]) > room:
+                continue
+            base = add_motif(name)
+            # join host to the new motif's first open attachment slot
+            att = [base + a for a in MOTIFS[name][2]
+                   if cap[base + a] > 0]
+            if not att:
+                continue
+            j = att[0]
+            bonds.append((j, host, 1))
+            cap[j] -= 1
+            cap[host] -= 1
+        else:
+            sym = t_syms[int(rng.choice(len(t_syms), p=t_w))]
+            j = len(symbols)
+            symbols.append(sym)
+            cap.append(CONSTRUCT_VALENCE[sym] - 1)
+            cap[host] -= 1
+            bonds.append((j, host, 1))
+            slots.append(j)
+    if not (4 <= len(symbols)):
+        return None
+    tidx = [enc[s] for s in symbols]
+    return tidx, bonds
+
+
 # --------------------------------------------------------------------- graphs
 def _sample_symbols(rng: np.random.Generator, n: int, pool: List[str],
                     probs: np.ndarray) -> List[str]:
@@ -257,7 +367,8 @@ def embed_molecule(rng: np.random.Generator, tidx: Sequence[int], bonds,
 
 def generate_ligand(rng: np.random.Generator, dinfo: dict,
                     n_min: int = 8, n_max: int = 26,
-                    max_tries: int = 20) -> Optional[dict]:
+                    max_tries: int = 20,
+                    graph_mode: str = "random") -> Optional[dict]:
     """One verified synthetic ligand: graph + coords + round-trip check.
 
     The returned dict carries ``lig_coords`` (n, 3) float32 centered at the
@@ -269,8 +380,11 @@ def generate_ligand(rng: np.random.Generator, dinfo: dict,
     decoder = dinfo["atom_decoder"]
     for _ in range(max_tries):
         n = int(rng.integers(n_min, n_max + 1))
-        g = sample_graph(rng, n, dinfo)
+        g = (sample_graph_motif(rng, n, dinfo) if graph_mode == "motif"
+             else sample_graph(rng, n, dinfo))
         if g is None:
+            continue
+        if graph_mode == "motif" and not (n_min <= len(g[0]) <= n_max):
             continue
         tidx, bonds = g
         x = embed_molecule(rng, tidx, bonds, dinfo)
@@ -374,11 +488,13 @@ def place_and_carve(rng: np.random.Generator, src: ProteinSource,
 # --------------------------------------------------------------------- corpus
 def generate_complexes(rng: np.random.Generator, src: ProteinSource,
                        dinfo: dict, n: int, tag: str,
-                       n_min: int = 8, n_max: int = 26) -> List[dict]:
+                       n_min: int = 8, n_max: int = 26,
+                       graph_mode: str = "random") -> List[dict]:
     out = []
     aa_dict = dinfo["aa_encoder"]
     while len(out) < n:
-        lig = generate_ligand(rng, dinfo, n_min=n_min, n_max=n_max)
+        lig = generate_ligand(rng, dinfo, n_min=n_min, n_max=n_max,
+                              graph_mode=graph_mode)
         if lig is None:
             continue
         placed = place_and_carve(rng, src, lig["lig_coords"], aa_dict)
@@ -415,7 +531,8 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
                  n_test: int = 128, seed: int = 0,
                  dataset: str = "crossdock_full",
                  train_protein: str = "3rfm", heldout_protein: str = "5ndu",
-                 n_min: int = 8, n_max: int = 26) -> dict:
+                 n_min: int = 8, n_max: int = 26,
+                 graph_mode: str = "random") -> dict:
     """Write {train,val,test}.npz + size_distribution.npy + meta.json.
 
     Train ligand/pocket pairs are carved from ``train_protein``; val/test
@@ -430,12 +547,12 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
     src_train = ProteinSource(DEFAULT_PROTEINS[train_protein])
     src_held = ProteinSource(DEFAULT_PROTEINS[heldout_protein])
 
+    kw = dict(n_min=n_min, n_max=n_max, graph_mode=graph_mode)
     train = generate_complexes(rng, src_train, dinfo, n_train, "synth_train",
-                               n_min=n_min, n_max=n_max)
-    val = generate_complexes(rng, src_held, dinfo, n_val, "synth_val",
-                             n_min=n_min, n_max=n_max)
+                               **kw)
+    val = generate_complexes(rng, src_held, dinfo, n_val, "synth_val", **kw)
     test = generate_complexes(rng, src_held, dinfo, n_test, "synth_test",
-                              n_min=n_min, n_max=n_max)
+                              **kw)
 
     _save_split(outdir / "train.npz", train)
     _save_split(outdir / "val.npz", val)
@@ -454,6 +571,7 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
         "seed": seed, "dataset": dataset,
         "train_protein": train_protein, "heldout_protein": heldout_protein,
         "n_min": n_min, "n_max": n_max,
+        "graph_mode": graph_mode,
         "unique_train_graphs": len(set(keys)),
         "lig_sizes": {"min": int(min(len(c["lig_coords"]) for c in train)),
                       "max": int(max(len(c["lig_coords"]) for c in train))},

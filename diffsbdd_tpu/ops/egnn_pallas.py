@@ -175,6 +175,24 @@ def _compact_block_indices(d2_0, mask, col_mask, is_lig, cutoffs,
     return counts, jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
+
+
+def _bits_smem_operand(bits):
+    """Per-grid-step 4-D SMEM block for the activity-bits operand.
+
+    Same hazard as the compact operands (_compact_smem_operands): Mosaic
+    lane-pads a whole-array scalar-prefetch int32 operand to 128 words per
+    row, so (B, n_rows, k) prefetched bits cost B*n_rows*512 bytes of SMEM
+    regardless of k — 1.5 MB at B=64/tile_i=8, over the ~1 MB budget (the
+    exact AOT error r04 hit).  Streaming the (batch, row-tile) slice per
+    grid step keeps the resident footprint at one row's words.
+    """
+    B, n_rows, n_words = bits.shape
+    spec = pl.BlockSpec((1, 1, 1, n_words), lambda b, i, *_: (b, i, 0, 0),
+                        memory_space=pltpu.SMEM)
+    return bits.reshape(B, n_rows, 1, n_words), spec
+
+
 def _unpack_block_id(words_ref, pb, i, k):
     """k-th uint8 block id from the packed int32 index words."""
     word = words_ref[pb, i, k >> 2]
@@ -396,7 +414,7 @@ def _make_gcl_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
             # of 16x32 blocks active on the 3rfm pocket at 5 A).  With
             # prefetched bits every predicate is a scalar-core bit test.
             if use_bits:
-                word = bits_ref[pb, i, j]
+                word = bits_ref[0, 0, 0, j]
 
                 def tile_work():
                     ops = loads()
@@ -668,14 +686,15 @@ def gcl_message_agg_pallas(
         bits = _block_activity_bits(
             d2_0, mask, mask if col_mask is None else col_mask, is_lig,
             cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
+        bits4, bits_spec = _bits_smem_operand(bits)
         out = pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(B, n_row_tiles),
-                in_specs=in_specs, out_specs=out_spec),
+            grid=(B, n_row_tiles),
+            in_specs=[bits_spec] + in_specs,
+            out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits, *args)
+        )(bits4, *args)
     else:
         out = pl.pallas_call(
             kernel,
@@ -802,7 +821,7 @@ def _make_coord_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
             # predicate, then per-32-column-block predicates; with
             # prefetched bits every predicate is a scalar-core bit test
             if use_bits:
-                word = bits_ref[pb, i, j]
+                word = bits_ref[0, 0, 0, j]
 
                 def tile_work():
                     ops = loads()
@@ -1128,14 +1147,15 @@ def coord_update_agg_pallas(
         bits = _block_activity_bits(
             d2_0, mask, mask, is_lig, cutoffs, tile_i, min(sub_j, tile_j),
             n_row_tiles, tile_j=tile_j)
+        bits4, bits_spec = _bits_smem_operand(bits)
         out = pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(B, n_row_tiles),
-                in_specs=in_specs, out_specs=out_spec),
+            grid=(B, n_row_tiles),
+            in_specs=[bits_spec] + in_specs,
+            out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits, *args)
+        )(bits4, *args)
     else:
         out = pl.pallas_call(
             kernel,

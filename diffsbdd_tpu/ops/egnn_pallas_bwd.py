@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .egnn_pallas import (
-    TILE_I, TILE_J, SUB_J, _PRECISIONS, _adjacency_tile, _block_activity_bits,
+    TILE_I, TILE_J, SUB_J, _PRECISIONS, _adjacency_tile, _bits_smem_operand,
+    _block_activity_bits,
     _dot, _edge_bias, _pair_distance2, _prep_w, _silu, fold_type_bias)
 
 
@@ -338,7 +339,7 @@ def _make_gcl_bwd_kernel(n_tiles_j, tile_j, cutoffs, attention, has_type_bias,
                         db2_a, dwatt_a, dbatt_a)
 
             if use_bits:
-                word = bits_ref[pb, i, j]
+                word = bits_ref[0, 0, 0, j]
 
                 def tile_work():
                     ops = loads()
@@ -484,13 +485,14 @@ def gcl_agg_bwd_pallas(
         bits = _block_activity_bits(
             d2_0, mask, mask if col_mask is None else col_mask, is_lig,
             cutoffs, tile_i, min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
+        bits4, bits_spec = _bits_smem_operand(bits)
         outs = pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(B, n_row_tiles),
-                in_specs=in_specs, out_specs=out_specs),
+            grid=(B, n_row_tiles),
+            in_specs=[bits_spec] + in_specs,
+            out_specs=out_specs,
             out_shape=out_shapes, interpret=interpret,
-        )(bits, *args)
+        )(bits4, *args)
     else:
         outs = pl.pallas_call(
             kernel, grid=(B, n_row_tiles), in_specs=in_specs,
@@ -846,7 +848,7 @@ def _make_coord_bwd_kernel(n_tiles_j, tile_j, cutoffs, has_type_bias, tanh,
                 return out
 
             if use_bits:
-                word = bits_ref[pb, i, j]
+                word = bits_ref[0, 0, 0, j]
 
                 def tile_work():
                     ops = loads()
@@ -1030,13 +1032,14 @@ def coord_agg_bwd_pallas(
         bits = _block_activity_bits(
             d2_0, mask, mask, is_lig, cutoffs, tile_i,
             min(sub_j, tile_j), n_row_tiles, tile_j=tile_j)
+        bits4, bits_spec = _bits_smem_operand(bits)
         outs = pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(B, n_row_tiles),
-                in_specs=in_specs, out_specs=out_specs),
+            grid=(B, n_row_tiles),
+            in_specs=[bits_spec] + in_specs,
+            out_specs=out_specs,
             out_shape=out_shapes, interpret=interpret,
-        )(bits, *args)
+        )(bits4, *args)
     else:
         outs = pl.pallas_call(
             kernel, grid=(B, n_row_tiles), in_specs=in_specs,

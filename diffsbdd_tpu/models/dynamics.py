@@ -141,7 +141,11 @@ class EGNNDynamics(nn.Module):
     impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     interpret: bool = False
     kernel_tile: int = 128
-    kernel_tile_i: Optional[int] = None  # default min(16, kernel_tile)
+    kernel_tile_i: Optional[int] = None  # default min(8, kernel_tile):
+    # ti8 measured fastest at every batch for sampling AND training once
+    # the r05 per-grid-step SMEM index operands removed the B=64 ceiling
+    # (PERF_R05.json b64_tiles, TRAIN_BENCH_r05.json); chains bit-identical
+    # to ti16 (TILE_AB_checks_r05.json)
     kernel_sub_j: int = 16  # cutoff-skip granularity inside a column tile
     kernel_skip_mode: str = "bits"  # 'bits' (per-block scalar predicates) |
     # 'compact' (prefetched active-block index lists; no branch overhead,
@@ -252,7 +256,7 @@ class EGNNDynamics(nn.Module):
                 fused_ctx = dict(mask=mask, is_lig=is_lig, d2_0=d2_0_full,
                                  type_table=type_table, cutoffs=cutoffs,
                                  tile_i=self.kernel_tile_i
-                                 or min(16, self.kernel_tile),
+                                 or min(8, self.kernel_tile),
                                  tile_j=self.kernel_tile,
                                  sub_j=self.kernel_sub_j,
                                  skip_mode=self.kernel_skip_mode,

@@ -93,9 +93,10 @@ def _compact(full: dict) -> dict:
             rec[k] = full.get("headline_batch", full.get("batch", 0))
         elif k == "provisional":
             rec[k] = bool(full.get("provisional", False))
+        elif k in ("value", "vs_baseline", "vs_measured_cpu_reference"):
+            rec[k] = full.get(k, 0.0)
         else:
-            rec[k] = full.get(k, 0.0 if k in ("value", "vs_baseline")
-                              else "")
+            rec[k] = full.get(k)  # null when not measured
     for k in _COMPACT_OPTIONAL:
         if k in full and full[k] is not None:
             v = full[k]

@@ -95,3 +95,47 @@ def test_build_corpus_ceiling_and_split(tmp_path):
             use_openbabel=False))
     (v, c, u, _), _ = BasicMolecularMetrics(DINFO).evaluate_mols(mols)
     assert v == 1.0 and c == 1.0
+
+
+@pytest.mark.quick
+def test_sample_graph_motif_valence_and_connectivity():
+    from diffsbdd_tpu.data.synth_corpus import sample_graph_motif
+
+    rng = np.random.default_rng(5)
+    ok = 0
+    for _ in range(20):
+        g = sample_graph_motif(rng, 18, DINFO)
+        if g is None:
+            continue
+        ok += 1
+        tidx, bonds = g
+        symbols = [DINFO["atom_decoder"][t] for t in tidx]
+        mol = SimpleMol(symbols=symbols,
+                        coords=np.zeros((len(tidx), 3), np.float32),
+                        bonds=[(max(i, j), min(i, j), o)
+                               for i, j, o in bonds])
+        assert mol.is_connected()
+        assert mol.check_valency()
+    assert ok >= 15
+
+
+def test_generate_ligand_motif_roundtrip():
+    """Motif-mode ligands (rings + functional groups) still round-trip the
+    EDM perception kernel exactly after 3-D embedding."""
+    rng = np.random.default_rng(6)
+    n_ok = 0
+    for _ in range(6):
+        lig = generate_ligand(rng, DINFO, n_min=10, n_max=22,
+                              graph_mode="motif")
+        if lig is None:
+            continue
+        n_ok += 1
+        mol = build_molecule(lig["lig_coords"],
+                             lig["lig_one_hot"].argmax(-1), DINFO,
+                             use_openbabel=False)
+        assert mol.is_connected()
+        assert mol.check_valency()
+        # motif vocabulary produces rings: at least some molecules have
+        # more bonds than a tree
+        # (not asserted per-molecule; rings are probabilistic)
+    assert n_ok >= 4

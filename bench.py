@@ -398,8 +398,8 @@ def _assemble(runs, workloads, smoke, bf16_evidence, final):
     mols_per_sec = ok[best_key]["mol_per_sec"]
     if best_key.endswith("_bf16"):
         headline_precision = (
-            "bfloat16 fast tier (chem-validated vs float32_x2, "
-            "PRECISION_r04.json: deltas " + json.dumps(bf16_evidence) + ")")
+            "bfloat16 fast tier (chem-validated vs float32_x2, latest "
+            "PRECISION_r0N.json: deltas " + json.dumps(bf16_evidence) + ")")
     else:
         headline_precision = "float32_x2 (chain-validated, PRECISION_r02.json)"
 
@@ -514,7 +514,8 @@ def main():
     # indistinguishable (benchmarks/precision_chem_ab.py writes
     # PRECISION_r{N}.json; validity/connectivity deltas within 0.05)
     bf16_evidence = None
-    for rec_name in ("PRECISION_r04.json", "PRECISION_r03.json"):
+    for rec_name in ("PRECISION_r05.json", "PRECISION_r04.json",
+                     "PRECISION_r03.json"):
         try:
             prec = json.loads(
                 (REPO / "benchmarks" / rec_name).read_text())

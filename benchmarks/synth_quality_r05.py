@@ -71,17 +71,18 @@ def _gt_noise_ceiling(module, datadir, n=64):
 
 
 def build_or_load_corpus(datadir: Path, n_train, n_val, n_test, seed,
-                         force=False):
+                         force=False, graph_mode="random"):
     from diffsbdd_tpu.data.synth_corpus import build_corpus
     meta_path = datadir / "meta.json"
     if meta_path.exists() and not force:
         meta = json.loads(meta_path.read_text())
-        if meta.get("n_train") == n_train and meta.get("seed") == seed:
+        if meta.get("n_train") == n_train and meta.get("seed") == seed \
+                and meta.get("graph_mode", "random") == graph_mode:
             print(f"corpus cached: {meta_path}", flush=True)
             return meta
     t0 = time.time()
     meta = build_corpus(datadir, n_train=n_train, n_val=n_val,
-                        n_test=n_test, seed=seed)
+                        n_test=n_test, seed=seed, graph_mode=graph_mode)
     meta["build_s"] = round(time.time() - t0, 1)
     print(f"corpus built in {meta['build_s']}s: {json.dumps(meta)}",
           flush=True)
@@ -96,6 +97,8 @@ def main():
     p.add_argument("--n-val", type=int, default=64)
     p.add_argument("--n-test", type=int, default=128)
     p.add_argument("--corpus-seed", type=int, default=0)
+    p.add_argument("--graph-mode", default="random",
+                   choices=("random", "motif"))
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--augment-noise", type=float, default=0.0)
     p.add_argument("--eval-every", type=int, default=1000)
@@ -146,7 +149,8 @@ def main():
 
     datadir = args.outdir / "data"
     corpus_meta = build_or_load_corpus(
-        datadir, args.n_train, args.n_val, args.n_test, args.corpus_seed)
+        datadir, args.n_train, args.n_val, args.n_test, args.corpus_seed,
+        graph_mode=args.graph_mode)
 
     hist = np.load(datadir / "size_distribution.npy")
 

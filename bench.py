@@ -31,6 +31,7 @@ headline-eligible only if IQR/median <= 15%.  MFU/FLOP accounting
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -70,7 +71,11 @@ _LATEST: dict = {}
 # benchmarks/BENCH_FULL_LAST.json; every stdout line is a COMPACT headline
 # record hard-capped at 1500 bytes (tests/test_bench_protocol.py pins it).
 MAX_STDOUT_RECORD_BYTES = 1500
-FULL_RECORD_PATH = REPO / "benchmarks" / "BENCH_FULL_LAST.json"
+# Overridable so test-suite smoke spawns don't clobber the committed
+# hardware record (tests point this at a tmp path).
+FULL_RECORD_PATH = Path(os.environ.get(
+    "DIFFSBDD_BENCH_FULL_PATH",
+    REPO / "benchmarks" / "BENCH_FULL_LAST.json"))
 
 # compact-record field order: required schema fields first, then optional
 # context fields dropped (in reverse order) if the cap is ever threatened
@@ -103,7 +108,10 @@ def _compact(full: dict) -> dict:
             if isinstance(v, str) and k in _COMPACT_TRUNCATE:
                 v = v[:_COMPACT_TRUNCATE[k]]
             rec[k] = v
-    rec["full_record"] = "benchmarks/BENCH_FULL_LAST.json"
+    try:
+        rec["full_record"] = str(FULL_RECORD_PATH.relative_to(REPO))
+    except ValueError:
+        rec["full_record"] = str(FULL_RECORD_PATH)
     # enforce the cap: drop optional fields (least important last) until fit
     line = json.dumps(rec)
     drop = list(_COMPACT_OPTIONAL)

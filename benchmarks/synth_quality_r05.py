@@ -71,18 +71,21 @@ def _gt_noise_ceiling(module, datadir, n=64):
 
 
 def build_or_load_corpus(datadir: Path, n_train, n_val, n_test, seed,
-                         force=False, graph_mode="random"):
+                         force=False, graph_mode="random", vocab_size=64):
     from diffsbdd_tpu.data.synth_corpus import build_corpus
     meta_path = datadir / "meta.json"
     if meta_path.exists() and not force:
         meta = json.loads(meta_path.read_text())
         if meta.get("n_train") == n_train and meta.get("seed") == seed \
-                and meta.get("graph_mode", "random") == graph_mode:
+                and meta.get("graph_mode", "random") == graph_mode \
+                and (graph_mode != "library"
+                     or meta.get("vocab_size") == vocab_size):
             print(f"corpus cached: {meta_path}", flush=True)
             return meta
     t0 = time.time()
     meta = build_corpus(datadir, n_train=n_train, n_val=n_val,
-                        n_test=n_test, seed=seed, graph_mode=graph_mode)
+                        n_test=n_test, seed=seed, graph_mode=graph_mode,
+                        vocab_size=vocab_size)
     meta["build_s"] = round(time.time() - t0, 1)
     print(f"corpus built in {meta['build_s']}s: {json.dumps(meta)}",
           flush=True)
@@ -98,7 +101,10 @@ def main():
     p.add_argument("--n-test", type=int, default=128)
     p.add_argument("--corpus-seed", type=int, default=0)
     p.add_argument("--graph-mode", default="random",
-                   choices=("random", "motif"))
+                   choices=("random", "motif", "library"))
+    p.add_argument("--vocab-size", type=int, default=64,
+                   help="library mode: number of unique ligands in the "
+                        "fixed vocabulary")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--augment-noise", type=float, default=0.0)
     p.add_argument("--eval-every", type=int, default=1000)
@@ -150,7 +156,7 @@ def main():
     datadir = args.outdir / "data"
     corpus_meta = build_or_load_corpus(
         datadir, args.n_train, args.n_val, args.n_test, args.corpus_seed,
-        graph_mode=args.graph_mode)
+        graph_mode=args.graph_mode, vocab_size=args.vocab_size)
 
     hist = np.load(datadir / "size_distribution.npy")
 

@@ -406,6 +406,39 @@ def generate_ligand(rng: np.random.Generator, dinfo: dict,
     return None
 
 
+def build_ligand_library(rng: np.random.Generator, dinfo: dict,
+                         vocab_size: int = 64, n_min: int = 8,
+                         n_max: int = 26,
+                         graph_mode: str = "motif") -> List[dict]:
+    """Fixed vocabulary of ``vocab_size`` distinct verified ligands.
+
+    Corpus v4 ("library" mode): the r05 runs showed held-out connectivity
+    tracks the corpus' topological entropy — random graphs (2848 unique
+    topologies / 3000 complexes) plateau at ~0.07, a motif vocabulary at
+    ~0.17.  Real datasets sit at the other extreme: CrossDocked reuses a
+    finite ligand set across pockets, so the generative task is "recall a
+    member of a learned chemical vocabulary in a new pocket", not "invent a
+    never-seen topology".  This library reproduces that regime with K
+    unique molecules (WL-canonically distinct, each EDM-round-trip
+    verified) reused across all training pockets under fresh random
+    rotations/placements.
+    """
+    lib: List[dict] = []
+    seen = set()
+    tries = 0
+    while len(lib) < vocab_size:
+        tries += 1
+        if tries > vocab_size * 200:
+            raise RuntimeError("library generation stalled")
+        lig = generate_ligand(rng, dinfo, n_min=n_min, n_max=n_max,
+                              graph_mode=graph_mode)
+        if lig is None or lig["key"] in seen:
+            continue
+        seen.add(lig["key"])
+        lib.append(lig)
+    return lib
+
+
 # -------------------------------------------------------------------- pockets
 def _random_rotation(rng: np.random.Generator) -> np.ndarray:
     q = rng.standard_normal(4)
@@ -489,12 +522,16 @@ def place_and_carve(rng: np.random.Generator, src: ProteinSource,
 def generate_complexes(rng: np.random.Generator, src: ProteinSource,
                        dinfo: dict, n: int, tag: str,
                        n_min: int = 8, n_max: int = 26,
-                       graph_mode: str = "random") -> List[dict]:
+                       graph_mode: str = "random",
+                       library: Optional[List[dict]] = None) -> List[dict]:
     out = []
     aa_dict = dinfo["aa_encoder"]
     while len(out) < n:
-        lig = generate_ligand(rng, dinfo, n_min=n_min, n_max=n_max,
-                              graph_mode=graph_mode)
+        if library is not None:
+            lig = library[int(rng.integers(len(library)))]
+        else:
+            lig = generate_ligand(rng, dinfo, n_min=n_min, n_max=n_max,
+                                  graph_mode=graph_mode)
         if lig is None:
             continue
         placed = place_and_carve(rng, src, lig["lig_coords"], aa_dict)
@@ -532,12 +569,16 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
                  dataset: str = "crossdock_full",
                  train_protein: str = "3rfm", heldout_protein: str = "5ndu",
                  n_min: int = 8, n_max: int = 26,
-                 graph_mode: str = "random") -> dict:
+                 graph_mode: str = "random", vocab_size: int = 64) -> dict:
     """Write {train,val,test}.npz + size_distribution.npy + meta.json.
 
     Train ligand/pocket pairs are carved from ``train_protein``; val/test
     from ``heldout_protein`` — held-out pockets come from a protein the
-    model never saw.
+    model never saw.  ``graph_mode='library'`` draws every ligand from a
+    fixed ``vocab_size`` vocabulary of motif-assembled molecules, shared
+    across splits: held-out generalization is then over POCKETS (the
+    reference's actual task geometry — a finite chemical vocabulary
+    recalled in never-seen binding sites), not over never-seen topology.
     """
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -548,6 +589,11 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
     src_held = ProteinSource(DEFAULT_PROTEINS[heldout_protein])
 
     kw = dict(n_min=n_min, n_max=n_max, graph_mode=graph_mode)
+    if graph_mode == "library":
+        library = build_ligand_library(rng, dinfo, vocab_size=vocab_size,
+                                       n_min=n_min, n_max=n_max)
+        kw = dict(n_min=n_min, n_max=n_max, graph_mode="motif",
+                  library=library)
     train = generate_complexes(rng, src_train, dinfo, n_train, "synth_train",
                                **kw)
     val = generate_complexes(rng, src_held, dinfo, n_val, "synth_val", **kw)
@@ -572,6 +618,7 @@ def build_corpus(outdir: Path, n_train: int = 3000, n_val: int = 64,
         "train_protein": train_protein, "heldout_protein": heldout_protein,
         "n_min": n_min, "n_max": n_max,
         "graph_mode": graph_mode,
+        "vocab_size": vocab_size if graph_mode == "library" else None,
         "unique_train_graphs": len(set(keys)),
         "lig_sizes": {"min": int(min(len(c["lig_coords"]) for c in train)),
                       "max": int(max(len(c["lig_coords"]) for c in train))},
